@@ -1,0 +1,198 @@
+"""Batched weighted Procrustes (Kabsch) solver, TPU-native.
+
+Behavioral counterpart of the reference solver
+(``lib/models/MicKey/modules/loss/solvers.py:3-53``), redesigned for XLA:
+
+* The reference calls ``torch.svd`` on batches of 3x3 covariance matrices.
+  On TPU, XLA lowers general SVD to an iterative QDWH decomposition that is
+  slow for huge batches of tiny matrices and host-unfriendly.  We instead use
+  a **closed-form one-sided Jacobi SVD specialized to 3x3**: a fixed number of
+  (p, q) column-rotation sweeps, all element-wise arithmetic, fully
+  vectorized over the batch, differentiable, and MXU/VPU friendly.
+* The reference's data-dependent rank check (``check_rank`` -> python branch)
+  becomes a per-element validity mask so the whole solve stays inside one
+  compiled program (no host sync).
+* The determinant sign fix ``R = V Z U^T`` with ``Z = diag(1, 1, det(UV^T))``
+  is preserved exactly (reference solvers.py:45-52).
+
+All functions broadcast over arbitrary leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_JACOBI_SWEEPS = 6  # 3x3 one-sided Jacobi converges to fp32 precision in <=4
+
+
+def _jacobi_rotate(A: jnp.ndarray, V: jnp.ndarray, p: int, q: int, eps: float):
+    """One one-sided Jacobi rotation orthogonalizing columns p and q of A.
+
+    A, V: (..., 3, 3). Returns updated (A, V). Pure element-wise math.
+    """
+    ap = A[..., :, p]
+    aq = A[..., :, q]
+    alpha = jnp.sum(ap * ap, axis=-1)
+    beta = jnp.sum(aq * aq, axis=-1)
+    gamma = jnp.sum(ap * aq, axis=-1)
+
+    # Skip (identity rotation) when the columns are already orthogonal to
+    # fp32 relative precision. The SAME predicate guards the gamma division:
+    # a mismatched pair of thresholds would let a tiny-but-nonzero gamma use
+    # a garbage zeta and apply a spurious large rotation.
+    skip = jnp.abs(gamma) <= 1e-7 * jnp.sqrt(alpha * beta) + 1e-30
+
+    # Rotation that zeroes the off-diagonal inner product gamma.
+    # zeta = (beta - alpha) / (2 gamma); t = sign(zeta)/(|zeta| + sqrt(1+zeta^2))
+    safe_gamma = jnp.where(skip, 1.0, gamma)
+    zeta = (beta - alpha) / (2.0 * safe_gamma)
+    sign_zeta = jnp.where(zeta >= 0, 1.0, -1.0)
+    t = sign_zeta / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    c = jax.lax.rsqrt(1.0 + t * t)
+    s = c * t
+    c = jnp.where(skip, 1.0, c)[..., None]
+    s = jnp.where(skip, 0.0, s)[..., None]
+
+    new_ap = c * ap - s * aq
+    new_aq = s * ap + c * aq
+    A = A.at[..., :, p].set(new_ap).at[..., :, q].set(new_aq)
+
+    vp = V[..., :, p]
+    vq = V[..., :, q]
+    V = V.at[..., :, p].set(c * vp - s * vq).at[..., :, q].set(s * vp + c * vq)
+    return A, V
+
+
+def svd3x3(H: jnp.ndarray, eps: float = 1e-12) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """SVD of batched 3x3 matrices via one-sided Jacobi.
+
+    H: (..., 3, 3). Returns (U, S, V) with H ≈ U @ diag(S) @ V^T, singular
+    values sorted descending, V exactly orthonormal, and U's third column
+    rebuilt as ``u1 x u2`` (valid for Kabsch: R = V Z U^T is invariant to the
+    sign of u3, and the cross-product completion makes rank-2 inputs exact).
+    """
+    dtype = H.dtype
+    A = H.astype(jnp.float32)
+    V = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), A.shape)
+
+    for _ in range(_JACOBI_SWEEPS):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            A, V = _jacobi_rotate(A, V, p, q, eps)
+
+    # Column norms are the singular values.
+    S = jnp.sqrt(jnp.sum(A * A, axis=-2))  # (..., 3)
+
+    # Sort columns by descending singular value with a fixed 3-element
+    # sorting network (vectorized, no gather-by-argsort).
+    def _maybe_swap(S, A, V, i, j):
+        swap = S[..., i] < S[..., j]
+        si, sj = S[..., i], S[..., j]
+        S = S.at[..., i].set(jnp.where(swap, sj, si)).at[..., j].set(jnp.where(swap, si, sj))
+        sw = swap[..., None]
+        ai, aj = A[..., :, i], A[..., :, j]
+        A = A.at[..., :, i].set(jnp.where(sw, aj, ai)).at[..., :, j].set(jnp.where(sw, ai, aj))
+        vi, vj = V[..., :, i], V[..., :, j]
+        V = V.at[..., :, i].set(jnp.where(sw, vj, vi)).at[..., :, j].set(jnp.where(sw, vi, vj))
+        return S, A, V
+
+    S, A, V = _maybe_swap(S, A, V, 0, 1)
+    S, A, V = _maybe_swap(S, A, V, 0, 2)
+    S, A, V = _maybe_swap(S, A, V, 1, 2)
+
+    # U columns = normalized A columns; robust fallbacks for small singular
+    # values (rank-deficient covariance = collinear point sets).
+    u0 = A[..., :, 0] / jnp.maximum(S[..., 0:1], eps)
+    u1 = A[..., :, 1] / jnp.maximum(S[..., 1:2], eps)
+
+    # If sigma_1 ~ 0 (rank <= 1): pick any unit vector orthogonal to u0.
+    alt = _orthogonal_unit(u0)
+    rank1 = (S[..., 1:2] <= eps * jnp.maximum(S[..., 0:1], 1.0))
+    u1 = jnp.where(rank1, alt, u1)
+
+    # Third column: right-handed completion u2 = u0 x u1. When the true third
+    # singular vector has the opposite handedness (det(U) = -1), flip the
+    # matching V column instead so U @ diag(S) @ V^T still reconstructs H.
+    u2 = jnp.cross(u0, u1)
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True), eps)
+    flip = jnp.sum(u2 * A[..., :, 2], axis=-1, keepdims=True) < 0.0
+    V = V.at[..., :, 2].set(jnp.where(flip, -V[..., :, 2], V[..., :, 2]))
+
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U.astype(dtype), S.astype(dtype), V.astype(dtype)
+
+
+def _orthogonal_unit(v: jnp.ndarray) -> jnp.ndarray:
+    """A unit vector orthogonal to v (..., 3), branch-free."""
+    # Cross with the basis vector least aligned with v.
+    ax = jnp.abs(v)
+    use_x = (ax[..., 0:1] <= ax[..., 1:2]) & (ax[..., 0:1] <= ax[..., 2:3])
+    use_y = (~use_x) & (ax[..., 1:2] <= ax[..., 2:3])
+    e = jnp.where(
+        use_x,
+        jnp.array([1.0, 0.0, 0.0], dtype=v.dtype),
+        jnp.where(use_y, jnp.array([0.0, 1.0, 0.0], dtype=v.dtype), jnp.array([0.0, 0.0, 1.0], dtype=v.dtype)),
+    )
+    w = jnp.cross(v, e)
+    return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-20)
+
+
+class ProcrustesResult(NamedTuple):
+    R: jnp.ndarray  # (..., 3, 3)
+    t: jnp.ndarray  # (..., 1, 3)
+    valid: jnp.ndarray  # (...,) bool — rank-sufficient covariance
+
+
+def weighted_procrustes(
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    w: Optional[jnp.ndarray] = None,
+    use_weights: bool = True,
+    use_mask: bool = False,
+    eps: float = 1e-16,
+    rank_tol: float = 1e-7,
+) -> ProcrustesResult:
+    """Weighted 3D-3D rigid alignment (Kabsch), batched and jittable.
+
+    A, B: (..., N, 3) corresponding point sets; w: (..., N) weights.
+    Returns R, t such that ``B ≈ A @ R^T + t`` and a per-element validity
+    mask replacing the reference's host-side rank check.
+
+    Semantics mirror reference ``solvers.weighted_procrustes`` exactly:
+      * use_weights & use_mask: normalized-weight centroids, covariance with
+        the *raw* weights (solvers.py:24-26);
+      * use_weights only: normalized weights throughout (solvers.py:27-29);
+      * unweighted: plain means (solvers.py:31-39).
+    """
+    if use_weights:
+        assert w is not None
+        W1 = jnp.sum(jnp.abs(w), axis=-1, keepdims=True)
+        w_norm = (w / (W1 + eps))[..., None]  # (..., N, 1)
+        a_mean = jnp.sum(w_norm * A, axis=-2, keepdims=True)
+        b_mean = jnp.sum(w_norm * B, axis=-2, keepdims=True)
+        A_c = A - a_mean
+        B_c = B - b_mean
+        cov_w = w[..., None] if use_mask else w_norm
+        H = jnp.einsum("...ni,...nj->...ij", A_c, cov_w * B_c, precision=jax.lax.Precision.HIGHEST)
+    else:
+        a_mean = jnp.mean(A, axis=-2, keepdims=True)
+        b_mean = jnp.mean(B, axis=-2, keepdims=True)
+        A_c = A - a_mean
+        B_c = B - b_mean
+        H = jnp.einsum("...ni,...nj->...ij", A_c, B_c, precision=jax.lax.Precision.HIGHEST)
+
+    U, S, V = svd3x3(H)
+
+    # Validity: covariance must have rank >= 2 for a well-posed rotation
+    # (reference rejects rank-1 via torch.linalg.matrix_rank, solvers.py:41-43).
+    valid = S[..., 1] > rank_tol * jnp.maximum(S[..., 0], 1e-20)
+
+    # Orientation fix: R = V Z U^T with Z = diag(1, 1, det(U V^T)).
+    det_uv = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", U, V, precision=jax.lax.Precision.HIGHEST))
+    Vz = V.at[..., :, 2].multiply(det_uv[..., None])
+    R = jnp.einsum("...ij,...kj->...ik", Vz, U, precision=jax.lax.Precision.HIGHEST)
+
+    t = b_mean - jnp.einsum("...ni,...ji->...nj", a_mean, R, precision=jax.lax.Precision.HIGHEST)
+    return ProcrustesResult(R=R, t=t, valid=valid)

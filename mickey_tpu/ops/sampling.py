@@ -1,0 +1,61 @@
+"""Weighted sampling without replacement via Gumbel top-k (jittable).
+
+The reference samples correspondences with ``torch.multinomial(probs, k)``
+(without replacement) at two levels of its probabilistic RANSAC
+(``probabilisticProcrustes.py:231,251``; ``loss_class.py:138,159``).  That op
+is host-unfriendly and stateful.  The TPU-native equivalent is the
+Gumbel-top-k trick: ``argtop_k(log p_i + G_i)`` with iid Gumbel noise draws
+exactly a sample without replacement from the categorical distribution — one
+fused, vmappable op driven by explicit PRNG keys.
+
+For very large categorical supports (the N^2 ≈ 3.7M match matrix) exact
+``lax.top_k`` is the default; ``jax.lax.approx_max_k`` can be selected for
+extra throughput (recall ≈ 0.95, statistically immaterial for RANSAC
+proposal sampling — documented deviation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def gumbel_topk_sample(
+    key: jax.Array,
+    log_weights: jnp.ndarray,
+    k: int,
+    approx: bool = False,
+) -> jnp.ndarray:
+    """Sample k indices without replacement ∝ exp(log_weights).
+
+    log_weights: (..., N) unnormalized log-probabilities; entries of -inf (or
+    <= _NEG_INF) are never sampled. Returns int32 indices (..., k).
+    """
+    g = jax.random.gumbel(key, log_weights.shape, dtype=log_weights.dtype)
+    perturbed = log_weights + g
+    if approx:
+        _, idx = jax.lax.approx_max_k(perturbed, k)
+    else:
+        _, idx = jax.lax.top_k(perturbed, k)
+    return idx.astype(jnp.int32)
+
+
+def weighted_sample_without_replacement(
+    key: jax.Array,
+    weights: jnp.ndarray,
+    k: int,
+    approx: bool = False,
+    eps: float = 1e-30,
+) -> jnp.ndarray:
+    """torch.multinomial(weights, k) equivalent (without replacement).
+
+    weights: (..., N) nonnegative (not necessarily normalized).
+    Zero-weight entries are excluded via -inf log-weight (torch.multinomial
+    never draws zero-probability categories when enough support exists).
+    """
+    logw = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, eps)), _NEG_INF)
+    return gumbel_topk_sample(key, logw, k, approx=approx)
