@@ -1,0 +1,179 @@
+"""Full feature extractor: frozen DINOv2 backbone + the four MicKey heads.
+
+Counterpart of reference ``MicKey_Extractor`` (mickey_extractor.py:7-64) and
+``ComputeCorrespondences`` (compute_correspondences.py:6-92), reorganized
+functionally: ``extractor_init`` builds the parameter pytree,
+``extract_features`` maps images -> per-patch (kpts, depths, scores, descs),
+``compute_correspondences`` runs both images and the matcher.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .dinov2 import vit_features_chw, vit_init
+from .heads import (
+    depth_head_apply,
+    depth_head_init,
+    desc_head_apply,
+    desc_head_init,
+    det_head_apply,
+    det_head_init,
+    offset_head_apply,
+    offset_head_init,
+)
+from .matcher import match_scores, matcher_init
+
+Params = Dict[str, Any]
+
+
+def extractor_init(key: jax.Array, cfg, include_backbone: bool = True) -> Params:
+    ks = jax.random.split(key, 5)
+    p: Params = {
+        "det_head": det_head_init(ks[0], cfg),
+        "det_offset": offset_head_init(ks[1], cfg),
+        "depth_head": depth_head_init(ks[2], cfg),
+        "dsc_head": desc_head_init(ks[3], cfg),
+    }
+    if include_backbone:
+        p["dinov2"] = vit_init(ks[4], "vit_large")
+    return p
+
+
+def model_init(key: jax.Array, cfg, include_backbone: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    p = extractor_init(k1, cfg, include_backbone=include_backbone)
+    p["matcher"] = matcher_init(cfg)
+    return p
+
+
+def extract_features(
+    params: Params, images: jnp.ndarray, cfg, train: bool = False, axis_name=None
+) -> Tuple[Tuple[jnp.ndarray, ...], Params]:
+    """images: (B, H, W, 3) in [0, 1]; H, W multiples of DOWN_FACTOR.
+
+    Returns ((kpts, depths, scores, descs), new_params) with feature maps of
+    shape (B, H/14, W/14, {2,1,1,128}). The reference crops inputs to
+    multiples of 14 at runtime (mickey_extractor.py:46); we require it
+    statically (XLA static shapes) — the data pipeline guarantees it.
+    """
+    mk = cfg.MICKEY
+    df = mk.DINOV2.DOWN_FACTOR
+    b, h, w, _ = images.shape
+    assert h % df == 0 and w % df == 0, f"image size {(h, w)} not divisible by {df}"
+
+    fmap = vit_features_chw(
+        params["dinov2"],
+        images,
+        cfg_dtype=("bfloat16" if mk.DINOV2.FLOAT16 else "float32"),
+        use_pallas=cfg.TPU.USE_PALLAS_ATTENTION and jax.default_backend() != "cpu",
+    )
+
+    new_params = dict(params)
+    scores, new_params["det_head"] = det_head_apply(params["det_head"], fmap, cfg, train, axis_name)
+    kpts, new_params["det_offset"] = offset_head_apply(params["det_offset"], fmap, cfg, train, axis_name)
+    depths, new_params["depth_head"] = depth_head_apply(params["depth_head"], fmap, cfg, train, axis_name)
+    descs, new_params["dsc_head"] = desc_head_apply(params["dsc_head"], fmap, cfg, train, axis_name)
+    return (kpts, depths, scores, descs), new_params
+
+
+def absolute_kpt_coordinates(kpts: jnp.ndarray, down_factor: int) -> jnp.ndarray:
+    """(offset + cell grid) * down_factor -> absolute pixels.
+
+    kpts: (B, H, W, 2) with channels (x, y) in [0, 1] patch units.
+    Counterpart of ``get_abs_kpts_coordinates`` (compute_correspondences.py:20-31).
+    """
+    b, h, w, _ = kpts.shape
+    gx = jnp.arange(w, dtype=kpts.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=kpts.dtype)[None, :, None]
+    abs_x = (kpts[..., 0] + gx) * down_factor
+    abs_y = (kpts[..., 1] + gy) * down_factor
+    return jnp.stack([abs_x, abs_y], axis=-1)
+
+
+class Correspondences(NamedTuple):
+    """Flattened per-image features + match matrices (reference 'data' dict,
+    compute_correspondences.py:81-90). kps are (B, N, 2) absolute pixels."""
+
+    kps0: jnp.ndarray
+    depth0: jnp.ndarray  # (B, N, 1)
+    scr0: jnp.ndarray  # (B, N, 1)
+    dsc0: jnp.ndarray  # (B, N, C)
+    kps1: jnp.ndarray
+    depth1: jnp.ndarray
+    scr1: jnp.ndarray
+    dsc1: jnp.ndarray
+    scores: jnp.ndarray  # (B, N0, N1) descriptor match scores
+    kp_scores: jnp.ndarray  # (B, N0, N1) keypoint-score outer product
+    depth_map0: jnp.ndarray  # (B, H, W, 1) for visualization/logging
+    depth_map1: jnp.ndarray
+
+    @property
+    def final_scores(self) -> jnp.ndarray:
+        """scores * kp_scores — the sampling distribution (model.py:198-203)."""
+        return self.scores * self.kp_scores
+
+
+def _flatten_maps(kpts, depths, scores, descs):
+    b, h, w, _ = kpts.shape
+    n = h * w
+    return (
+        kpts.reshape(b, n, 2),
+        depths.reshape(b, n, 1),
+        scores.reshape(b, n, 1),
+        descs.reshape(b, n, -1),
+    )
+
+
+def compute_correspondences(
+    params: Params,
+    image0: jnp.ndarray,
+    image1: jnp.ndarray,
+    cfg,
+    train: bool = False,
+    axis_name=None,
+) -> Tuple[Correspondences, Params]:
+    """Run the extractor on both images and build the match matrices.
+
+    The two images are processed as ONE batched extractor call (2B images) —
+    unlike the reference's two sequential forward passes
+    (compute_correspondences.py:59-60) this keeps the MXU at full batch
+    occupancy.
+    """
+    df = cfg.MICKEY.DINOV2.DOWN_FACTOR
+    b = image0.shape[0]
+    stacked = jnp.concatenate([image0, image1], axis=0)
+    (kpts, depths, scores, descs), new_params = extract_features(
+        params, stacked, cfg, train=train, axis_name=axis_name
+    )
+    kpts = absolute_kpt_coordinates(kpts, df)
+    (k0, k1), (d0, d1), (s0, s1), (c0, c1) = (
+        (t[:b], t[b:]) for t in (kpts, depths, scores, descs)
+    )
+
+    kps0, depth0, scr0, dsc0 = _flatten_maps(k0, d0, s0, c0)
+    kps1, depth1, scr1, dsc1 = _flatten_maps(k1, d1, s1, c1)
+
+    match = match_scores(params["matcher"], dsc0, dsc1, cfg)
+    kp_scores = jnp.einsum(
+        "bni,bmi->bnm", scr0, scr1, precision=jax.lax.Precision.HIGHEST
+    )
+
+    corr = Correspondences(
+        kps0=kps0,
+        depth0=depth0,
+        scr0=scr0,
+        dsc0=dsc0,
+        kps1=kps1,
+        depth1=depth1,
+        scr1=scr1,
+        dsc1=dsc1,
+        scores=match,
+        kp_scores=kp_scores,
+        depth_map0=d0,
+        depth_map1=d1,
+    )
+    return corr, new_params

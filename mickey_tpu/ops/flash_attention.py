@@ -1,0 +1,121 @@
+"""Pallas TPU flash attention (forward) for the frozen DINOv2 backbone.
+
+The reference runs DINOv2 ViT-L/14 under xformers memory-efficient attention
+(reference ``DINO_modules/layers/attention.py:65-81``).  The TPU-native
+equivalent is an online-softmax (flash) kernel: the (S, S) score matrix never
+touches HBM — each query block streams key/value blocks through VMEM and
+keeps running max/denominator statistics.
+
+Backbone-only (frozen, no backward pass needed): MicKey never backprops
+through DINOv2 (reference ``mickey_extractor.py:48-51`` wraps it in no_grad);
+callers wrap activations in ``stop_gradient``.
+
+Shapes: q, k, v are (B, H, S, D) with S a multiple of the block size; real
+sequence length ``seq_len <= S`` is baked in statically and padded keys are
+masked with -inf logits.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, block_k: int):
+    """One (batch*head, q-block) program: stream K/V blocks with online softmax."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
+    block_q, d = q.shape
+    s_total = k_ref.shape[1]
+    num_kb = s_total // block_k
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # (Bk, D)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Bq, Bk)
+        # mask padded keys (static seq_len)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = alpha * acc + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    seq_len: int,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Non-causal multi-head attention: softmax(q k^T / sqrt(D)) v.
+
+    q, k, v: (B, H, S, D), S % block == 0; positions >= seq_len are padding.
+    Returns (B, H, S, D) in q.dtype (padded rows contain garbage).
+    """
+    b, h, s, d = q.shape
+    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+    scale = 1.0 / math.sqrt(d)
+    bh = b * h
+    qf = q.reshape(bh, s, d)
+    kf = k.reshape(bh, s, d)
+    vf = v.reshape(bh, s, d)
+
+    grid = (bh, s // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, seq_len=seq_len, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s * s * d, bytes_accessed=4 * bh * s * d * 4, transcendentals=bh * s * s
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, s, d)
+
+
+def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seq_len: int) -> jnp.ndarray:
+    """Plain-XLA attention with identical masking semantics (CPU/testing path)."""
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    mask = jnp.arange(s) < seq_len
+    logits = jnp.where(mask[None, None, None, :], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True):
+    """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere."""
+    if use_pallas and q.shape[2] % 512 == 0:
+        return flash_attention(q, k, v, seq_len)
+    return attention_reference(q, k, v, seq_len)
