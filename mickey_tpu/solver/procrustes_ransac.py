@@ -1,0 +1,274 @@
+"""Probabilistic Procrustes RANSAC — TPU-native inference pose solver.
+
+Behavioral counterpart of the reference ``e2eProbabilisticProcrustesSolver``
+(``modules/utils/probabilisticProcrustes.py``), redesigned for XLA:
+
+  * ``torch.multinomial`` two-level sampling -> Gumbel top-k on log-scores
+    (exact without-replacement sampling, explicit PRNG keys);
+  * the B x it_matches x it_RANSAC hypothesis tensor never materializes:
+    a ``lax.scan`` over the it_matches outer draws keeps per-step memory at
+    (B, it_RANSAC, num_samples) while a per-step argmax + a final argmax over
+    steps reproduces the global best-hypothesis selection;
+  * the data-dependent refinement early-exit (reference :287-300, an
+    ``.item()`` host sync) becomes a fixed-trip masked ``fori_loop``;
+  * try/except NaN handling (reference :228,331) becomes a per-element
+    validity mask with the same zero-pose fallback — per *element* rather
+    than per batch, which strictly dominates the reference behavior.
+
+All shapes static; jit-compiled once per (B, N0, N1, config).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    backproject_3d,
+    inlier_counting_3d,
+    soft_inlier_counting_3d,
+    weighted_procrustes,
+)
+from ..ops.sampling import gumbel_topk_sample
+
+_NEG_INF = -1e30
+
+
+class PoseEstimate(NamedTuple):
+    R: jnp.ndarray  # (B, 3, 3)
+    t: jnp.ndarray  # (B, 1, 3)
+    confidence: jnp.ndarray  # (B,) soft-inlier count of the best hypothesis
+    valid: jnp.ndarray  # (B,) bool
+    # Best correspondence subset (for inlier export / visualization):
+    cor0: jnp.ndarray  # (B, S, 2)
+    cor1: jnp.ndarray  # (B, S, 2)
+    d0: jnp.ndarray  # (B, S, 1)
+    d1: jnp.ndarray  # (B, S, 1)
+    weights: jnp.ndarray  # (B, S)
+    inlier_mask: jnp.ndarray  # (B, S) hard inliers at th_inlier under final pose
+
+
+def _log_weights(scores: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
+    return jnp.where(scores > 0, jnp.log(jnp.maximum(scores, eps)), _NEG_INF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "it_matches",
+        "it_ransac",
+        "num_samples",
+        "num_corr",
+        "num_refinements",
+        "th_inlier",
+        "th_soft_inlier",
+        "approx_sampling",
+    ),
+)
+def estimate_pose(
+    key: jax.Array,
+    final_scores: jnp.ndarray,  # (B, N0, N1)
+    kps0: jnp.ndarray,  # (B, N0, 2)
+    depth0: jnp.ndarray,  # (B, N0, 1)
+    kps1: jnp.ndarray,  # (B, N1, 2)
+    depth1: jnp.ndarray,  # (B, N1, 1)
+    K0: jnp.ndarray,  # (B, 3, 3)
+    K1: jnp.ndarray,  # (B, 3, 3)
+    it_matches: int = 20,
+    it_ransac: int = 100,
+    num_samples: int = 2048,
+    num_corr: int = 3,
+    num_refinements: int = 4,
+    th_inlier: float = 0.15,
+    th_soft_inlier: float = 0.3,
+    approx_sampling: bool = False,
+) -> PoseEstimate:
+    """Metric relative pose from soft correspondence scores.
+
+    Reference: estimate_pose_vectorized (probabilisticProcrustes.py:183-348)
+    with config defaults from PROCRUSTES.* (curriculum_learning.yaml:89-96).
+    """
+    B, N0, N1 = final_scores.shape
+    scores_flat = final_scores.reshape(B, N0 * N1).astype(jnp.float32)
+
+    # Validity of the sampling distribution (reference loss_class.py:127-129
+    # try/except guard): finite, nonnegative, positive mass.
+    row_ok = (
+        jnp.all(jnp.isfinite(scores_flat), axis=-1)
+        & jnp.all(scores_flat >= 0, axis=-1)
+        & (jnp.sum(scores_flat, axis=-1) > 0)
+    )
+    logw = _log_weights(scores_flat)
+
+    kps0 = kps0.astype(jnp.float32)
+    kps1 = kps1.astype(jnp.float32)
+    depth0 = depth0.astype(jnp.float32)
+    depth1 = depth1.astype(jnp.float32)
+    K0 = K0.astype(jnp.float32)
+    K1 = K1.astype(jnp.float32)
+
+    keys = jax.random.split(key, it_matches)
+
+    def outer_step(carry, step_key):
+        k_outer, k_inner = jax.random.split(step_key)
+
+        # -- outer draw: num_samples candidate matches ∝ final_scores
+        idx = gumbel_topk_sample(k_outer, logw, num_samples, approx=approx_sampling)  # (B, S)
+        idx0 = idx // N1
+        idx1 = idx % N1
+
+        cor0 = jnp.take_along_axis(kps0, idx0[..., None], axis=1)  # (B, S, 2)
+        cor1 = jnp.take_along_axis(kps1, idx1[..., None], axis=1)
+        d0 = jnp.take_along_axis(depth0, idx0[..., None], axis=1)  # (B, S, 1)
+        d1 = jnp.take_along_axis(depth1, idx1[..., None], axis=1)
+        w = jnp.take_along_axis(scores_flat, idx, axis=1)  # (B, S)
+
+        X = backproject_3d(cor0, d0, K0)  # (B, S, 3)
+        Y = backproject_3d(cor1, d1, K1)
+
+        # -- inner draws: it_ransac minimal sets of num_corr correspondences
+        logw_in = jnp.broadcast_to(_log_weights(w)[:, None, :], (B, it_ransac, num_samples))
+        ridx = gumbel_topk_sample(k_inner, logw_in, num_corr, approx=False)  # (B, R, C)
+
+        Xk = jnp.take_along_axis(X[:, None], ridx[..., None], axis=2)  # (B, R, C, 3)
+        Yk = jnp.take_along_axis(Y[:, None], ridx[..., None], axis=2)
+
+        sol = weighted_procrustes(Xk, Yk, use_weights=False)  # R: (B, R, 3, 3)
+
+        # -- score every hypothesis against all S samples of this draw
+        score = soft_inlier_counting_3d(X[:, None], Y[:, None], sol.R, sol.t, th=th_soft_inlier)
+        score = score[..., 0]  # (B, R)
+        hyp_ok = (
+            sol.valid
+            & jnp.all(jnp.isfinite(sol.R.reshape(B, it_ransac, 9)), axis=-1)
+            & jnp.all(jnp.isfinite(sol.t.reshape(B, it_ransac, 3)), axis=-1)
+        )
+        score = jnp.where(hyp_ok, score, _NEG_INF)
+
+        best = jnp.argmax(score, axis=-1)  # (B,)
+        take = lambda a: jnp.take_along_axis(a, best.reshape((B,) + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+        out = {
+            "R": take(sol.R),
+            "t": take(sol.t),
+            "score": jnp.take_along_axis(score, best[:, None], axis=1)[:, 0],
+            "X": X,
+            "Y": Y,
+            "cor0": cor0,
+            "cor1": cor1,
+            "d0": d0,
+            "d1": d1,
+            "w": w,
+        }
+        return carry, out
+
+    _, per_step = jax.lax.scan(outer_step, None, keys)  # leaves: (it_matches, B, ...)
+
+    # -- global best across the it_matches outer draws
+    step_scores = per_step["score"]  # (it, B)
+    best_it = jnp.argmax(step_scores, axis=0)  # (B,)
+    b_idx = jnp.arange(B)
+
+    def pick(a):
+        return a[best_it, b_idx]
+
+    R = pick(per_step["R"])  # (B, 3, 3)
+    t = pick(per_step["t"])  # (B, 1, 3)
+    X_best = pick(per_step["X"])  # (B, S, 3)
+    Y_best = pick(per_step["Y"])
+    cor0_b, cor1_b = pick(per_step["cor0"]), pick(per_step["cor1"])
+    d0_b, d1_b = pick(per_step["d0"]), pick(per_step["d1"])
+    w_b = pick(per_step["w"])
+
+    # -- masked refinement loop (reference :284-300), fixed trips
+    def ref_step(_, state):
+        R, t, inliers_pre, inliers_ref = state
+        inliers = inlier_counting_3d(X_best, Y_best, R, t, th=th_inlier)  # (B, S)
+        n_in = jnp.sum(inliers, axis=-1)
+        do_ref = (n_in >= num_corr) & (n_in > inliers_pre)
+        inliers_pre = jnp.where(do_ref, n_in, inliers_pre)
+        inliers_ref = jnp.where(do_ref[:, None], inliers, inliers_ref)
+        sol = weighted_procrustes(X_best, Y_best, w=inliers_ref, use_weights=True, use_mask=True)
+        sel = do_ref[:, None, None]
+        R = jnp.where(sel, sol.R, R)
+        t = jnp.where(sel, sol.t, t)
+        return R, t, inliers_pre, inliers_ref
+
+    inliers_pre0 = jnp.full((B,), float(num_corr), jnp.float32)
+    inliers_ref0 = jnp.zeros((B, num_samples), jnp.float32)
+    R, t, _, _ = jax.lax.fori_loop(
+        0, num_refinements, ref_step, (R, t, inliers_pre0, inliers_ref0)
+    )
+
+    # -- final confidence: soft inliers at th_inlier (reference :303)
+    confidence = soft_inlier_counting_3d(X_best, Y_best, R, t, th=th_inlier)[..., 0]
+    inlier_mask = inlier_counting_3d(X_best, Y_best, R, t, th=th_inlier)
+
+    valid = (
+        row_ok
+        & jnp.all(jnp.isfinite(R.reshape(B, 9)), axis=-1)
+        & jnp.all(jnp.isfinite(t.reshape(B, 3)), axis=-1)
+        & (jnp.max(step_scores, axis=0) > _NEG_INF / 2)
+    )
+    zero = jnp.zeros_like
+    R = jnp.where(valid[:, None, None], R, zero(R))
+    t = jnp.where(valid[:, None, None], t, zero(t))
+    confidence = jnp.where(valid, confidence, 0.0)
+
+    return PoseEstimate(
+        R=R,
+        t=t,
+        confidence=confidence,
+        valid=valid,
+        cor0=cor0_b,
+        cor1=cor1_b,
+        d0=d0_b,
+        d1=d1_b,
+        weights=w_b,
+        inlier_mask=inlier_mask,
+    )
+
+
+def estimate_pose_from_cfg(key, corr, K0, K1, cfg, final_scores=None):
+    """Convenience wrapper reading PROCRUSTES.* config (reference solver
+    __init__, probabilisticProcrustes.py:11-20)."""
+    pc = cfg.PROCRUSTES
+    fs = corr.final_scores if final_scores is None else final_scores
+    return estimate_pose(
+        key,
+        fs,
+        corr.kps0,
+        corr.depth0,
+        corr.kps1,
+        corr.depth1,
+        K0,
+        K1,
+        it_matches=pc.IT_MATCHES,
+        it_ransac=pc.IT_RANSAC,
+        num_samples=pc.NUM_SAMPLED_MATCHES,
+        num_corr=pc.NUM_CORR_3D_3D,
+        num_refinements=pc.NUM_REFINEMENTS,
+        th_inlier=pc.TH_INLIER,
+        th_soft_inlier=pc.TH_SOFT_INLIER,
+        approx_sampling=cfg.TPU.SAMPLING == "approx",
+    )
+
+
+def extract_inliers(est: PoseEstimate, batch_index: int = 0):
+    """Host-side inlier list for one pair, sorted by score descending:
+    rows [x0, y0, x1, y1, score, d0, d1] (reference :306-327 layout
+    cat([cor0, cor1, score, d0, d1]))."""
+    import numpy as np
+
+    m = np.asarray(est.inlier_mask[batch_index]) == 1.0
+    cor0 = np.asarray(est.cor0[batch_index])[m]
+    cor1 = np.asarray(est.cor1[batch_index])[m]
+    d0 = np.asarray(est.d0[batch_index])[m]
+    d1 = np.asarray(est.d1[batch_index])[m]
+    w = np.asarray(est.weights[batch_index])[m]
+    order = np.argsort(-w)
+    return np.concatenate(
+        [cor0[order], cor1[order], w[order, None], d0[order], d1[order]], axis=1
+    )

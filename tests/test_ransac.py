@@ -1,0 +1,139 @@
+"""RANSAC solver tests: synthetic scenes with known poses and outliers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mickey_tpu.geometry import backproject_3d, quat2mat
+from mickey_tpu.solver import estimate_pose, extract_inliers
+
+
+def make_scene(rng, B=2, N=24, outlier_frac=0.5, depth_noise=0.0):
+    """Synthetic two-view problem expressed as a (B, N, N) score matrix.
+
+    Inlier correspondence i<->i gets high score; everything else low.
+    Returns inputs for estimate_pose + ground truth.
+    """
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 600
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = 270, 360, 1
+
+    Rs, ts = [], []
+    for _ in range(B):
+        q = rng.normal(size=4)
+        Rs.append(quat2mat(q / np.linalg.norm(q)))
+        ts.append(rng.normal(size=3) * 0.5)
+    R_gt = np.stack(Rs).astype(np.float32)
+    t_gt = np.stack(ts).astype(np.float32).reshape(B, 1, 3)
+
+    kps0 = rng.uniform(40, 500, (B, N, 2)).astype(np.float32)
+    d0 = rng.uniform(1, 6, (B, N, 1)).astype(np.float32)
+    X = np.asarray(backproject_3d(jnp.array(kps0), jnp.array(d0), jnp.array(K)))
+    Y = np.einsum("bij,bnj->bni", R_gt, X) + t_gt
+
+    n_out = int(N * outlier_frac)
+    Y[:, N - n_out :] += rng.normal(size=(B, n_out, 3)) * 4.0
+
+    # project Y back into image 1 to get kps1/depth1
+    uv1 = np.einsum("bij,bnj->bni", K, Y)
+    d1 = uv1[..., 2:3].astype(np.float32)
+    kps1 = (uv1[..., :2] / uv1[..., 2:3]).astype(np.float32)
+    if depth_noise:
+        d1 = d1 + rng.normal(size=d1.shape).astype(np.float32) * depth_noise
+
+    scores = np.full((B, N, N), 1e-5, np.float32)
+    idx = np.arange(N)
+    scores[:, idx, idx] = 1.0
+    return dict(
+        final_scores=jnp.array(scores),
+        kps0=jnp.array(kps0),
+        depth0=jnp.array(d0),
+        kps1=jnp.array(kps1),
+        depth1=jnp.array(d1),
+        K0=jnp.array(K),
+        K1=jnp.array(K),
+    ), (R_gt, t_gt)
+
+
+SOLVER_KW = dict(it_matches=4, it_ransac=32, num_samples=16, num_corr=3, num_refinements=4)
+
+
+class TestEstimatePose:
+    def test_recovers_pose_with_outliers(self, rng):
+        inputs, (R_gt, t_gt) = make_scene(rng)
+        est = estimate_pose(jax.random.PRNGKey(0), **inputs, **SOLVER_KW)
+        assert np.asarray(est.valid).all()
+        np.testing.assert_allclose(np.asarray(est.R), R_gt, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(est.t), t_gt, atol=2e-3)
+        # ~half the sampled matches are true inliers
+        conf = np.asarray(est.confidence)
+        assert (conf > 4).all()
+
+    def test_invalid_scores_zero_pose_fallback(self, rng):
+        inputs, _ = make_scene(rng)
+        bad = np.asarray(inputs["final_scores"]).copy()
+        bad[0] = np.nan  # pair 0 invalid, pair 1 fine
+        inputs["final_scores"] = jnp.array(bad)
+        est = estimate_pose(jax.random.PRNGKey(1), **inputs, **SOLVER_KW)
+        v = np.asarray(est.valid)
+        assert not v[0] and v[1]
+        assert (np.asarray(est.R)[0] == 0).all()
+        assert np.asarray(est.confidence)[0] == 0
+        # pair 1 unaffected
+        assert np.isfinite(np.asarray(est.R)[1]).all() and np.abs(np.asarray(est.R)[1]).max() > 0
+
+    def test_all_zero_scores(self, rng):
+        inputs, _ = make_scene(rng)
+        inputs["final_scores"] = jnp.zeros_like(inputs["final_scores"])
+        est = estimate_pose(jax.random.PRNGKey(2), **inputs, **SOLVER_KW)
+        assert not np.asarray(est.valid).any()
+        assert (np.asarray(est.R) == 0).all()
+
+    def test_deterministic_given_key(self, rng):
+        inputs, _ = make_scene(rng)
+        e1 = estimate_pose(jax.random.PRNGKey(3), **inputs, **SOLVER_KW)
+        e2 = estimate_pose(jax.random.PRNGKey(3), **inputs, **SOLVER_KW)
+        np.testing.assert_array_equal(np.asarray(e1.R), np.asarray(e2.R))
+
+    def test_refinement_improves_noisy_pose(self, rng):
+        inputs, (R_gt, t_gt) = make_scene(rng, N=48, outlier_frac=0.3, depth_noise=0.02)
+        no_ref = estimate_pose(
+            jax.random.PRNGKey(4), **inputs, **{**SOLVER_KW, "num_refinements": 0, "num_samples": 32}
+        )
+        with_ref = estimate_pose(
+            jax.random.PRNGKey(4), **inputs, **{**SOLVER_KW, "num_refinements": 4, "num_samples": 32}
+        )
+        err_no = np.abs(np.asarray(no_ref.R) - R_gt).max()
+        err_ref = np.abs(np.asarray(with_ref.R) - R_gt).max()
+        assert err_ref <= err_no + 1e-6
+
+    def test_inlier_extraction(self, rng):
+        inputs, _ = make_scene(rng)
+        est = estimate_pose(jax.random.PRNGKey(5), **inputs, **SOLVER_KW)
+        inliers = extract_inliers(est, 0)
+        assert inliers.shape[1] == 7  # x0 y0 x1 y1 score d0 d1
+        assert len(inliers) >= 3
+        # sorted by score descending
+        assert (np.diff(inliers[:, 4]) <= 1e-6).all()
+
+    def test_rectangular_score_matrix(self, rng):
+        """N0 != N1 must index correctly (reference assumes square — we fix it)."""
+        inputs, (R_gt, t_gt) = make_scene(rng, N=24)
+        # pad image-1 keypoints with 8 distractors -> N1 = 32
+        B = 2
+        extra = 8
+        kps1 = np.concatenate(
+            [np.asarray(inputs["kps1"]), rng.uniform(40, 500, (B, extra, 2)).astype(np.float32)], 1
+        )
+        d1 = np.concatenate(
+            [np.asarray(inputs["depth1"]), rng.uniform(1, 6, (B, extra, 1)).astype(np.float32)], 1
+        )
+        scores = np.concatenate(
+            [np.asarray(inputs["final_scores"]), np.full((B, 24, extra), 1e-5, np.float32)], 2
+        )
+        inputs.update(
+            final_scores=jnp.array(scores), kps1=jnp.array(kps1), depth1=jnp.array(d1)
+        )
+        est = estimate_pose(jax.random.PRNGKey(6), **inputs, **SOLVER_KW)
+        np.testing.assert_allclose(np.asarray(est.R), R_gt, atol=5e-3)
