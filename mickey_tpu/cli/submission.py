@@ -1,0 +1,148 @@
+"""Map-free submission CLI (counterpart of reference submission.py).
+
+Runs batched inference over the val/test split with image pairs sharded
+across all available chips, writes per-scene ``pose_{scene}.txt`` files into
+``submission.zip``.
+
+Usage:
+    python -m mickey_tpu.cli.submission --config config.yaml \
+        --checkpoint weights/mickey.ckpt --split val -o results/
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections import defaultdict
+from dataclasses import dataclass
+from pathlib import Path
+from zipfile import ZipFile
+
+import numpy as np
+
+
+@dataclass
+class Pose:
+    image_name: str
+    q: np.ndarray
+    t: np.ndarray
+    inliers: float
+
+    def __str__(self) -> str:
+        formatter = {"float": lambda v: f"{v:.6f}"}
+        q_str = np.array2string(self.q, formatter=formatter, max_line_width=1000)[1:-1]
+        t_str = np.array2string(self.t, formatter=formatter, max_line_width=1000)[1:-1]
+        return f"{self.image_name} {q_str} {t_str} {self.inliers}"
+
+
+def predict(loader, model, mesh=None, progress: bool = True):
+    """Batched inference -> {scene: [Pose, ...]} (reference submission.py:32-61)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry import mat2quat
+    from ..parallel import pad_batch, shard_batch
+
+    results_dict = defaultdict(list)
+    n_devices = len(mesh.devices.reshape(-1)) if mesh is not None else 1
+    key = jax.random.PRNGKey(0)
+
+    it = loader
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(loader, total=len(loader))
+        except ImportError:
+            pass
+
+    for step, data in enumerate(it):
+        arrays = {
+            "image0": data["image0"],
+            "image1": data["image1"],
+            "K_color0": data["K_color0"],
+            "K_color1": data["K_color1"],
+        }
+        arrays, real_b = pad_batch(arrays, max(n_devices, 1))
+        if mesh is not None:
+            arrays = shard_batch(mesh, arrays)
+        step_key = jax.random.fold_in(key, step)
+        out = model(
+            jnp.asarray(arrays["image0"]),
+            jnp.asarray(arrays["image1"]),
+            jnp.asarray(arrays["K_color0"]),
+            jnp.asarray(arrays["K_color1"]),
+            key=step_key,
+        )
+
+        R_b = np.asarray(out.R)[:real_b]
+        t_b = np.asarray(out.t)[:real_b]
+        conf_b = np.asarray(out.inliers)[:real_b]
+
+        for i in range(real_b):
+            R, t, conf = R_b[i], t_b[i].reshape(-1), float(conf_b[i])
+            # skip frames without finite estimates (reference submission.py:51-52)
+            if np.isnan(R).any() or np.isnan(t).any() or np.isinf(t).any():
+                continue
+            if np.abs(R).max() == 0:  # zero-pose fallback = no estimate
+                continue
+            scene = data["scene_id"][i]
+            query_img = data["pair_names"][i][1]
+            results_dict[scene].append(
+                Pose(image_name=query_img, q=mat2quat(R).reshape(-1), t=t, inliers=conf)
+            )
+    return results_dict
+
+
+def save_submission(results_dict: dict, output_path: Path):
+    with ZipFile(output_path, "w") as zf:
+        for scene, poses in results_dict.items():
+            poses_str = "\n".join(str(p) for p in poses)
+            zf.writestr(f"pose_{scene}.txt", poses_str.encode("utf-8"))
+
+
+def eval_split(args):
+    from ..config import default_config
+    from ..data.loader import DataModule
+    from ..models import build_model
+    from ..parallel import get_mesh
+
+    cfg = default_config()
+    if args.dataset_config:
+        cfg.merge_from_file(args.dataset_config)
+    if args.config:
+        cfg.merge_from_file(args.config)
+
+    if args.split == "test":
+        cfg.TRAINING.BATCH_SIZE = args.batch_size or 8
+        loader = DataModule(cfg, drop_last_val=False).test_dataloader()
+    elif args.split == "val":
+        cfg.TRAINING.BATCH_SIZE = args.batch_size or 12
+        loader = DataModule(cfg, drop_last_val=False).val_dataloader()
+    else:
+        raise NotImplementedError(f"Invalid split: {args.split}")
+    cfg.TRAINING.NUM_WORKERS = 8
+
+    model = build_model(cfg, args.checkpoint, dinov2_path=args.dinov2)
+    mesh = get_mesh()
+    results_dict = predict(loader, model, mesh=mesh)
+
+    args.output_root.mkdir(parents=True, exist_ok=True)
+    save_submission(results_dict, args.output_root / "submission.zip")
+    print(f"Wrote {args.output_root / 'submission.zip'}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="", help="model config yaml")
+    parser.add_argument("--dataset_config", default="", help="dataset config yaml")
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--dinov2", default=None)
+    parser.add_argument("--output_root", "-o", type=Path, default=Path("results/"))
+    parser.add_argument("--split", choices=("val", "test"), default="test")
+    parser.add_argument("--batch_size", type=int, default=None)
+    args = parser.parse_args()
+    eval_split(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,7 @@ def default_config() -> Config:
             "MICKEY": {
                 "DINOV2": {
                     # reference mickey_extractor.py:12-35
+                    "VARIANT": "vit_large",  # TPU build: selectable backbone
                     "DOWN_FACTOR": 14,
                     "CHANNEL_DIM": 1024,
                     "FLOAT16": True,  # TPU build: bfloat16 when True

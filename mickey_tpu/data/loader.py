@@ -1,0 +1,209 @@
+"""Threaded prefetching batch loader (counterpart of lib/datasets/datamodules.py).
+
+Replaces torch DataLoader: a thread pool decodes/resizes images (cv2 releases
+the GIL) while the accelerator computes, with a bounded prefetch queue of
+ready numpy batches. Batches are dicts of stacked numpy arrays for array
+fields and lists for string fields — the same collation contract as the
+reference's default torch collate.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .mapfree import MapFreeDataset
+from .sampler import RandomConcatSampler
+
+_ARRAY_KEYS = (
+    "image0",
+    "image1",
+    "T_0to1",
+    "abs_q_0",
+    "abs_c_0",
+    "abs_q_1",
+    "abs_c_1",
+    "K_color0",
+    "Kori_color0",
+    "K_color1",
+    "Kori_color1",
+)
+
+
+def collate(samples: List[Dict]) -> Dict:
+    batch: Dict = {}
+    for k in samples[0]:
+        if k in _ARRAY_KEYS:
+            batch[k] = np.stack([np.asarray(s[k]) for s in samples]).astype(np.float32)
+        else:
+            batch[k] = [s[k] for s in samples]
+    return batch
+
+
+class DataLoader:
+    """Iterate dataset[indices] in batches with threaded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler=None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
+
+    def _indices(self) -> List[int]:
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self._epoch).permutation(idx)
+        return idx.tolist()
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        indices = self._indices()
+        self._epoch += 1
+        batches = [
+            indices[i : i + self.batch_size] for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                # pipeline: submit item fetches, collate in order
+                futures = [pool.submit(self._load_batch, b) for b in batches[: self.prefetch + 2]]
+                next_submit = self.prefetch + 2
+                for i in range(len(batches)):
+                    if stop.is_set():
+                        for f in futures:
+                            f.cancel()
+                        return
+                    q.put(futures.pop(0).result())
+                    if next_submit < len(batches):
+                        futures.append(pool.submit(self._load_batch, batches[next_submit]))
+                        next_submit += 1
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def _load_batch(self, idxs: List[int]) -> Dict:
+        return collate([self.dataset[i] for i in idxs])
+
+
+class DataModule:
+    """Eval-oriented loaders (reference DataModule, datamodules.py:12-67)."""
+
+    def __init__(self, cfg, drop_last_val: bool = True):
+        self.cfg = cfg
+        self.drop_last_val = drop_last_val
+        assert cfg.DATASET.DATA_SOURCE == "MapFree", "unsupported DATA_SOURCE"
+
+    def _sampler(self, dataset, reset_epoch=False, seed=66):
+        if self.cfg.TRAINING.SAMPLER == "scene_balance":
+            return RandomConcatSampler(
+                dataset,
+                self.cfg.TRAINING.N_SAMPLES_SCENE,
+                self.cfg.TRAINING.SAMPLE_WITH_REPLACEMENT,
+                shuffle=True,
+                reset_on_iter=reset_epoch,
+                seed=seed,
+            )
+        return None
+
+    def _transforms(self):
+        if self.cfg.DATASET.AUGMENTATION_TYPE == "colorjitter":
+            from .augment import color_jitter
+
+            return color_jitter
+        if self.cfg.DATASET.BLACK_WHITE:
+            from .augment import grayscale
+
+            return grayscale
+        return None
+
+    def train_dataloader(self) -> DataLoader:
+        dataset = MapFreeDataset(self.cfg, "train", transforms=self._transforms())
+        return DataLoader(
+            dataset,
+            self.cfg.TRAINING.BATCH_SIZE,
+            sampler=self._sampler(dataset),
+            num_workers=self.cfg.TRAINING.NUM_WORKERS,
+        )
+
+    def val_dataloader(self) -> DataLoader:
+        dataset = MapFreeDataset(self.cfg, "val")
+        return DataLoader(
+            dataset,
+            self.cfg.TRAINING.BATCH_SIZE,
+            drop_last=self.drop_last_val,
+            num_workers=self.cfg.TRAINING.NUM_WORKERS,
+        )
+
+    def test_dataloader(self) -> DataLoader:
+        dataset = MapFreeDataset(self.cfg, "test")
+        return DataLoader(
+            dataset,
+            self.cfg.TRAINING.BATCH_SIZE,
+            drop_last=self.drop_last_val,
+            num_workers=self.cfg.TRAINING.NUM_WORKERS,
+        )
+
+
+class DataModuleTraining(DataModule):
+    """Training loaders with seeded samplers (reference DataModuleTraining)."""
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.seed = cfg.DATASET.SEED
+
+    def train_dataloader(self) -> DataLoader:
+        dataset = MapFreeDataset(self.cfg, "train", transforms=self._transforms())
+        return DataLoader(
+            dataset,
+            self.cfg.TRAINING.BATCH_SIZE,
+            sampler=self._sampler(dataset, seed=self.seed),
+            num_workers=self.cfg.TRAINING.NUM_WORKERS,
+        )
+
+    def val_dataloader(self) -> DataLoader:
+        dataset = MapFreeDataset(self.cfg, "val")
+        return DataLoader(
+            dataset,
+            self.cfg.TRAINING.BATCH_SIZE,
+            sampler=self._sampler(dataset, reset_epoch=True),
+            drop_last=True,
+            num_workers=self.cfg.TRAINING.NUM_WORKERS,
+        )

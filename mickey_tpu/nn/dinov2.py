@@ -126,9 +126,11 @@ def _pos_embed_matrices(n_side: int, h0: int, w0: int):
 
     Includes the reference's ``+0.1`` anti-fp-error fudge (dinov2.py:179).
     """
+    # NOTE: cache numpy (not jnp) — jnp constants created under a jit trace
+    # would leak tracers through the lru_cache.
     Wh = _torch_bicubic_matrix(n_side, h0, (h0 + 0.1) / n_side)
     Ww = _torch_bicubic_matrix(n_side, w0, (w0 + 0.1) / n_side)
-    return jnp.array(Wh), jnp.array(Ww)
+    return Wh, Ww
 
 
 def interpolate_pos_encoding(pos_embed: jnp.ndarray, h0: int, w0: int) -> jnp.ndarray:
@@ -143,8 +145,8 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, h0: int, w0: int) -> jnp.nd
     if (h0, w0) == (n_side, n_side):
         return pos_embed
     Wh, Ww = _pos_embed_matrices(n_side, h0, w0)
-    out = jnp.einsum("hs,bstc->bhtc", Wh, patch_pe)
-    out = jnp.einsum("wt,bhtc->bhwc", Ww, out)
+    out = jnp.einsum("hs,bstc->bhtc", jnp.asarray(Wh), patch_pe)
+    out = jnp.einsum("wt,bhtc->bhwc", jnp.asarray(Ww), out)
     out = out.reshape(1, h0 * w0, -1)
     return jnp.concatenate([cls_pe, out.astype(pos_embed.dtype)], axis=1)
 
@@ -225,7 +227,7 @@ def vit_forward_features(
     return x[:, 1:]  # drop cls token -> patch tokens, float32
 
 
-def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True):
+def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True, num_heads=16, patch_size=14):
     """Patch tokens reshaped to a (B, H/14, W/14, C) feature map (fp32).
 
     The frozen-backbone boundary: output is wrapped in stop_gradient, the
@@ -234,6 +236,9 @@ def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True)
     """
     dtype = jnp.bfloat16 if cfg_dtype in ("bfloat16", "float16", True) else jnp.float32
     b, h, w, _ = images_nhwc.shape
-    toks = vit_forward_features(params, images_nhwc, dtype=dtype, use_pallas=use_pallas)
-    fmap = toks.reshape(b, h // 14, w // 14, -1)
+    toks = vit_forward_features(
+        params, images_nhwc, patch_size=patch_size, num_heads=num_heads,
+        dtype=dtype, use_pallas=use_pallas,
+    )
+    fmap = toks.reshape(b, h // patch_size, w // patch_size, -1)
     return jax.lax.stop_gradient(fmap)

@@ -14,7 +14,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .dinov2 import vit_features_chw, vit_init
+from .dinov2 import VIT_CONFIGS, vit_features_chw, vit_init
 from .heads import (
     depth_head_apply,
     depth_head_init,
@@ -39,7 +39,7 @@ def extractor_init(key: jax.Array, cfg, include_backbone: bool = True) -> Params
         "dsc_head": desc_head_init(ks[3], cfg),
     }
     if include_backbone:
-        p["dinov2"] = vit_init(ks[4], "vit_large")
+        p["dinov2"] = vit_init(ks[4], cfg.MICKEY.DINOV2.get("VARIANT", "vit_large"))
     return p
 
 
@@ -65,11 +65,14 @@ def extract_features(
     b, h, w, _ = images.shape
     assert h % df == 0 and w % df == 0, f"image size {(h, w)} not divisible by {df}"
 
+    variant = mk.DINOV2.get("VARIANT", "vit_large")
     fmap = vit_features_chw(
         params["dinov2"],
         images,
         cfg_dtype=("bfloat16" if mk.DINOV2.FLOAT16 else "float32"),
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION and jax.default_backend() != "cpu",
+        num_heads=VIT_CONFIGS[variant]["num_heads"],
+        patch_size=df,
     )
 
     new_params = dict(params)

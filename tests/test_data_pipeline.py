@@ -1,0 +1,157 @@
+"""Integration tests: synthetic Map-free dataset -> loader -> submission -> evaluator."""
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mickey_tpu.config import default_config
+from mickey_tpu.data import DataModule, MapFreeDataset, RandomConcatSampler
+from mickey_tpu.geometry.rotations import mat2quat, quat2mat
+
+
+def tiny_cfg(data_root):
+    cfg = default_config()
+    cfg.MICKEY.DINOV2.VARIANT = "vit_small"
+    cfg.MICKEY.DINOV2.CHANNEL_DIM = 384
+    cfg.MICKEY.DINOV2.FLOAT16 = False
+    cfg.MICKEY.KP_HEADS.BLOCKS_DIM = [32, 16, 128, 8]
+    cfg.MICKEY.DSC_HEAD.LAST_DIM = 16
+    cfg.DATASET.DATA_ROOT = str(data_root)
+    cfg.DATASET.WIDTH = 112
+    cfg.DATASET.HEIGHT = 126  # 8x9 patch grid (>6 so the 3-cell border mask leaves scores)
+    cfg.TRAINING.BATCH_SIZE = 3
+    cfg.TRAINING.NUM_WORKERS = 2
+    cfg.TRAINING.N_SAMPLES_SCENE = 6
+    cfg.PROCRUSTES.IT_MATCHES = 2
+    cfg.PROCRUSTES.IT_RANSAC = 8
+    cfg.PROCRUSTES.NUM_SAMPLED_MATCHES = 12
+    cfg.PROCRUSTES.NUM_CORR_3D_3D = 3
+    cfg.PROCRUSTES.NUM_REFINEMENTS = 1
+    return cfg
+
+
+def _rand_quat(rng):
+    q = rng.normal(size=4)
+    q = q / np.linalg.norm(q)
+    return q if q[0] >= 0 else -q
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    """Two val scenes + one train scene in Map-free layout."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("mapfree")
+    rng = np.random.default_rng(0)
+    n_frames = 10
+
+    for split, scenes in (("val", ["s00000", "s00001"]), ("train", ["s00100"])):
+        for scene in scenes:
+            sdir = root / split / scene
+            (sdir / "seq0").mkdir(parents=True)
+            (sdir / "seq1").mkdir(parents=True)
+            poses, intr = [], []
+
+            def add_frame(name):
+                img = (rng.uniform(0, 255, (130, 116, 3))).astype(np.uint8)
+                cv2.imwrite(str(sdir / name), img)
+                q = _rand_quat(rng)
+                t = rng.normal(size=3) * 0.3
+                poses.append(f"{name} " + " ".join(f"{v:.6f}" for v in [*q, *t]))
+                intr.append(f"{name} 110.0 110.0 58.0 65.0 116 130")
+
+            add_frame("seq0/frame_00000.jpg")
+            for i in range(n_frames):
+                add_frame(f"seq1/frame_{i:05}.jpg")
+            (sdir / "poses.txt").write_text("\n".join(poses) + "\n")
+            (sdir / "intrinsics.txt").write_text("\n".join(intr) + "\n")
+
+            if split == "train":
+                # overlap pairs between consecutive seq1 frames
+                idxs = np.array(
+                    [[1, i, 1, i + 1] for i in range(n_frames - 1)], dtype=np.uint16
+                )
+                overlaps = rng.uniform(0.3, 0.6, len(idxs))
+                np.savez(sdir / "overlaps.npz", idxs=idxs, overlaps=overlaps)
+    return root
+
+
+class TestDataset:
+    def test_val_dataset(self, fake_dataset):
+        cfg = tiny_cfg(fake_dataset)
+        ds = MapFreeDataset(cfg, "val")
+        # 10 frames, sample factor 5 -> 2 pairs per scene, 2 scenes
+        assert len(ds) == 4
+        item = ds[0]
+        assert item["image0"].shape == (126, 112, 3)
+        assert item["T_0to1"].shape == (4, 4)
+        # relative pose consistency: T = T2 @ inv(T1)
+        np.testing.assert_allclose(
+            np.linalg.det(item["T_0to1"][:3, :3]), 1.0, atol=1e-5
+        )
+        assert item["K_color0"].shape == (3, 3)
+        # intrinsics rescaled for 64x72 -> 56x70
+        assert abs(item["K_color0"][0, 0] - 110.0 * 112 / 116) < 1e-4
+
+    def test_train_dataset_overlap_filtering(self, fake_dataset):
+        cfg = tiny_cfg(fake_dataset)
+        cfg.DATASET.MIN_OVERLAP_SCORE = 0.0
+        cfg.DATASET.MAX_OVERLAP_SCORE = 1.0
+        ds = MapFreeDataset(cfg, "train")
+        assert len(ds) == 9
+        cfg.DATASET.MIN_OVERLAP_SCORE = 0.99  # nothing overlaps this much
+        ds = MapFreeDataset(cfg, "train")
+        assert len(ds) == 0
+
+    def test_sampler_scene_balance(self, fake_dataset):
+        cfg = tiny_cfg(fake_dataset)
+        ds = MapFreeDataset(cfg, "val")
+        s = RandomConcatSampler(ds, n_samples_per_subset=6, subset_replacement=True, seed=1)
+        idx = list(iter(s))
+        assert len(idx) == 12
+        # balanced: 6 from each scene
+        assert sum(1 for i in idx if i < 2) == 6
+
+    def test_sampler_reset_on_iter(self, fake_dataset):
+        cfg = tiny_cfg(fake_dataset)
+        ds = MapFreeDataset(cfg, "val")
+        s = RandomConcatSampler(ds, 6, reset_on_iter=True, seed=2)
+        assert list(iter(s)) == list(iter(s))
+        s2 = RandomConcatSampler(ds, 6, reset_on_iter=False, seed=2)
+        assert list(iter(s2)) != list(iter(s2))
+
+    def test_loader_batches(self, fake_dataset):
+        cfg = tiny_cfg(fake_dataset)
+        loader = DataModule(cfg, drop_last_val=False).val_dataloader()
+        batches = list(loader)
+        assert sum(b["image0"].shape[0] for b in batches) == 4
+        b0 = batches[0]
+        assert b0["image0"].shape[1:] == (126, 112, 3)
+        assert b0["image0"].dtype == np.float32
+        assert isinstance(b0["scene_id"], list)
+
+
+class TestSubmissionEndToEnd:
+    def test_predict_evaluate(self, fake_dataset, tmp_path):
+        from mickey_tpu.cli.submission import predict, save_submission
+        from mickey_tpu.evaluation import evaluate
+        from mickey_tpu.models import build_model
+
+        cfg = tiny_cfg(fake_dataset)
+        loader = DataModule(cfg, drop_last_val=False).val_dataloader()
+        model = build_model(cfg, checkpoint="")
+        results = predict(loader, model, mesh=None, progress=False)
+        assert set(results.keys()) == {"s00000", "s00001"}
+
+        zip_path = tmp_path / "submission.zip"
+        save_submission(results, zip_path)
+        with zipfile.ZipFile(zip_path) as zf:
+            names = set(zf.namelist())
+        assert names == {"pose_s00000.txt", "pose_s00001.txt"}
+
+        metrics, _ = evaluate(zip_path, Path(fake_dataset) / "val")
+        assert "Average Median Translation Error" in metrics
+        assert 0 <= metrics["Estimates for % of frames"] <= 1
+        assert metrics["Estimates for % of frames"] > 0
