@@ -1,0 +1,80 @@
+"""Benchmark: Map-free inference throughput (image pairs / sec / chip).
+
+Runs the flagship pipeline (DINOv2 ViT-L/14 bf16 + 4 heads + dual-softmax
+matcher + probabilistic Procrustes RANSAC at the reference's full budget:
+20 x 100 hypotheses x 2048 sampled matches) at the benchmark operating point
+(540x720 input -> 1938 keypoints/image, batch 8 = reference test batch,
+submission.py:78) on one TPU chip, random weights (throughput is
+weight-independent).
+
+Baseline derivation (vs_baseline): the reference publishes no numbers
+(BASELINE.md). The reference pipeline on A100 is dominated by
+torch.multinomial over the 3.7M-entry match distribution (20 draws), python
+refinement loops with .item() syncs, and ~3.3 TFLOP/pair of fp16 compute;
+we estimate ~2 image pairs/s/A100 for the full estimate_pose_vectorized
+path. The north-star target is 5x A100 throughput per chip (BASELINE.json),
+so vs_baseline = value / (5 * 2.0) — vs_baseline >= 1.0 means target met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_PAIRS_PER_SEC = 2.0  # estimated; see module docstring
+TARGET_MULTIPLier = 5.0
+
+BATCH = 8
+H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mickey_tpu.config import default_config
+    from mickey_tpu.models import build_model
+
+    cfg = default_config()
+    model = build_model(cfg, checkpoint="")
+
+    rng = np.random.default_rng(0)
+    im0 = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)).astype(np.float32))
+    im1 = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)).astype(np.float32))
+    K = np.zeros((BATCH, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 550
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1
+    K = jnp.asarray(K)
+
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    out = model(im0, im1, K, K, key=key)
+    out.R.block_until_ready()
+
+    # timed
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = model(im0, im1, K, K, key=jax.random.fold_in(key, i))
+    out.R.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    pairs_per_sec = BATCH / dt
+    baseline = TARGET_MULTIPLier * A100_REFERENCE_PAIRS_PER_SEC
+    print(
+        json.dumps(
+            {
+                "metric": "mapfree_inference_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

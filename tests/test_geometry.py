@@ -249,3 +249,61 @@ class TestQuaternions:
         Rj = np.asarray(quat2mat_jax(jnp.array(qs)))
         for i in range(16):
             np.testing.assert_allclose(Rj[i], quat2mat(qs[i]), atol=1e-5)
+
+
+class TestSVDGradients:
+    def test_custom_vjp_matches_autodiff_through_jacobi(self):
+        """On well-conditioned inputs the analytic VJP must equal
+        differentiating through the Jacobi iteration."""
+        import jax
+        from mickey_tpu.geometry.kabsch import _svd3x3_primal, svd3x3
+
+        rng = np.random.default_rng(3)
+        H = jnp.array(rng.normal(size=(16, 3, 3)).astype(np.float32))
+
+        def loss_custom(H):
+            U, S, V = svd3x3(H)
+            return jnp.sum(U * jnp.cos(S)[..., None, :]) + jnp.sum(V * V[..., ::-1, :]) + jnp.sum(S**2)
+
+        def loss_jacobi(H):
+            U, S, V = _svd3x3_primal(H)
+            return jnp.sum(U * jnp.cos(S)[..., None, :]) + jnp.sum(V * V[..., ::-1, :]) + jnp.sum(S**2)
+
+        g1 = np.asarray(jax.grad(loss_custom)(H))
+        g2 = np.asarray(jax.grad(loss_jacobi)(H))
+        np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-4)
+
+    def test_grad_finite_on_rank_deficient(self):
+        import jax
+        from mickey_tpu.geometry.kabsch import svd3x3
+
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=(8, 3, 1)).astype(np.float32)
+        b = rng.normal(size=(8, 1, 3)).astype(np.float32)
+        H = jnp.array(a @ b)  # rank 1
+
+        def loss(H):
+            U, S, V = svd3x3(H)
+            return jnp.sum(U) + jnp.sum(S) + jnp.sum(V)
+
+        g = np.asarray(jax.grad(loss)(H))
+        assert np.isfinite(g).all()
+
+    def test_procrustes_grad_finite_on_duplicate_points(self):
+        """Minimal sets with duplicated keypoints (rank-1 covariance) must not
+        poison gradients — the failure mode that motivated the custom VJP."""
+        import jax
+        from mickey_tpu.geometry import weighted_procrustes
+
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(2, 4, 3)).astype(np.float32)
+        A[:, 2] = A[:, 0]  # duplicates
+        A[:, 3] = A[:, 1]
+        B_ = rng.normal(size=(2, 4, 3)).astype(np.float32)
+
+        def loss(A):
+            res = weighted_procrustes(A, jnp.array(B_), use_weights=False)
+            return jnp.sum(res.R) + jnp.sum(res.t)
+
+        g = np.asarray(jax.grad(loss)(jnp.array(A)))
+        assert np.isfinite(g).all()

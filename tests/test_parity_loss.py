@@ -1,0 +1,256 @@
+"""Gradient parity: REINFORCE surrogate loss vs the torch reference.
+
+The reference computes policy gradients BY HAND (loss_class.py:251-261) and
+injects them with a second torch.autograd.backward (model.py:124-134). We
+claim one differentiable scalar reproduces all of it. This test injects
+IDENTICAL sample indices into both implementations and compares:
+  * the scalar avg_loss,
+  * gradients w.r.t. keypoints and depths (direct 3D-coordinate path),
+  * gradients w.r.t. final_scores (REINFORCE path incl. baseline subtraction
+    and curriculum masking).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+# Stub the missing transforms3d dependency before importing reference code.
+import mickey_tpu.geometry.rotations as _rot  # noqa: E402
+
+_t3d = types.ModuleType("transforms3d")
+_t3d_quat = types.ModuleType("transforms3d.quaternions")
+for name in ("quat2mat", "mat2quat", "qinverse", "qmult", "rotate_vector"):
+    setattr(_t3d_quat, name, getattr(_rot, name))
+_t3d.quaternions = _t3d_quat
+sys.modules.setdefault("transforms3d", _t3d)
+sys.modules.setdefault("transforms3d.quaternions", _t3d_quat)
+
+sys.path.insert(0, "/root/reference")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from mickey_tpu.config import default_config  # noqa: E402
+from mickey_tpu.geometry.rotations import quat2mat  # noqa: E402
+from mickey_tpu.training.loss import LossConfig, metric_pose_loss  # noqa: E402
+
+B, N, IT, R_IT, S, C = 4, 16, 3, 4, 10, 4
+TOPK = 60
+
+
+def make_cfg(loss_function="VCRE", null_hyp=True, topk=True):
+    cfg = default_config()
+    lc = cfg.LOSS_CLASS
+    lc.LOSS_FUNCTION = loss_function
+    lc.SOFT_CLIPPING = True
+    gh = lc.GENERATE_HYPOTHESES
+    gh.IT_MATCHES = IT
+    gh.IT_RANSAC = R_IT
+    gh.NUM_CORR_3d3d = C
+    gh.NUM_REF_STEPS = 2
+    lc.SAMPLER.NUM_SAMPLES_MATCHES = S
+    lc.NULL_HYPOTHESIS.ADD_NULL_HYPOTHESIS = null_hyp
+    lc.CURRICULUM_LEARNING.TRAIN_CURRICULUM = topk
+    lc.CURRICULUM_LEARNING.TRAIN_WITH_TOPK = topk
+    lc.CURRICULUM_LEARNING.TOPK_INIT = TOPK
+    return cfg
+
+
+def make_problem(seed=0):
+    rng = np.random.default_rng(seed)
+    kps0 = rng.uniform(0, 500, (B, N, 2)).astype(np.float32)
+    kps1 = rng.uniform(0, 500, (B, N, 2)).astype(np.float32)
+    depth0 = rng.uniform(0.5, 5.0, (B, N, 1)).astype(np.float32)
+    depth1 = rng.uniform(0.5, 5.0, (B, N, 1)).astype(np.float32)
+    fs = rng.uniform(0.01, 1.0, (B, N, N)).astype(np.float32)
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 550
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = 270, 360, 1
+    Kori = K * np.float32(1.3)
+    Kori[:, 2, 2] = 1
+
+    T = np.zeros((B, 4, 4), np.float32)
+    for b in range(B):
+        q = rng.normal(size=4)
+        T[b, :3, :3] = quat2mat(q / np.linalg.norm(q))
+        T[b, :3, 3] = rng.normal(size=3) * 0.5
+        T[b, 3, 3] = 1
+
+    # fixed sample indices: outer (B, IT, S) over N*N; inner (B, IT, R_IT, C)
+    # over S. Outer draws use DISTINCT kp0 and kp1 rows so minimal sets are
+    # well-conditioned — at rank-deficient covariances torch.svd's backward
+    # and our regularized VJP legitimately diverge (see
+    # test_gradient_parity_degenerate_samples for that regime).
+    outer = np.stack(
+        [
+            np.stack(
+                [
+                    rng.choice(N, size=S, replace=False) * N + rng.choice(N, size=S, replace=False)
+                    for _ in range(IT)
+                ]
+            )
+            for _ in range(B)
+        ]
+    ).astype(np.int32)
+    inner = np.stack(
+        [
+            np.stack([np.stack([rng.choice(S, size=C, replace=False) for _ in range(R_IT)]) for _ in range(IT)])
+            for _ in range(B)
+        ]
+    ).astype(np.int32)
+    return dict(
+        kps0=kps0, kps1=kps1, depth0=depth0, depth1=depth1, fs=fs, K=K, Kori=Kori, T=T,
+        outer=outer, inner=inner,
+    )
+
+
+def run_reference(p, cfg):
+    """Run the torch reference with multinomial patched to our fixed samples."""
+    from lib.models.MicKey.modules.loss.loss_class import MetricPoseLoss
+
+    loss_fn = MetricPoseLoss(cfg)
+    loss_fn.topK = TOPK
+
+    outer_t = torch.from_numpy(p["outer"].reshape(B * IT, S).astype(np.int64))
+    inner_t = torch.from_numpy(p["inner"].reshape(B * IT * R_IT, C).astype(np.int64))
+    calls = {"n": 0}
+
+    real_multinomial = torch.multinomial
+
+    def fake_multinomial(input, num_samples, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            assert input.shape == (B * IT, N * N) and num_samples == S
+            return outer_t.clone()
+        elif calls["n"] == 2:
+            assert input.shape == (B * IT * R_IT, S) and num_samples == C
+            return inner_t.clone()
+        return real_multinomial(input, num_samples, *a, **k)
+
+    fs = torch.tensor(p["fs"], requires_grad=True)
+    batch = {
+        "final_scores": fs,
+        "kps0": torch.tensor(np.swapaxes(p["kps0"], 1, 2), requires_grad=True),
+        "kps1": torch.tensor(np.swapaxes(p["kps1"], 1, 2), requires_grad=True),
+        "depth_kp0": torch.tensor(np.swapaxes(p["depth0"], 1, 2), requires_grad=True),
+        "depth_kp1": torch.tensor(np.swapaxes(p["depth1"], 1, 2), requires_grad=True),
+        "K_color0": torch.tensor(p["K"]),
+        "K_color1": torch.tensor(p["K"]),
+        "Kori_color0": torch.tensor(p["Kori"]),
+        "Kori_color1": torch.tensor(p["Kori"]),
+        "T_0to1": torch.tensor(p["T"]),
+    }
+
+    torch.multinomial = fake_multinomial
+    try:
+        avg_loss, outputs, probs_grad, num_valid = loss_fn.RANSAC_vectorized(batch)
+    finally:
+        torch.multinomial = real_multinomial
+    assert num_valid == 1
+
+    # reproduce the reference's two-phase backward (model.py:102-134)
+    avg_loss.backward()
+    torch.autograd.backward(
+        (torch.log(batch["final_scores"] + 1e-16), batch["kps0"], batch["kps1"],
+         batch["depth_kp0"], batch["depth_kp1"]),
+        (probs_grad[0], outputs["kps0"].grad, outputs["kps1"].grad,
+         outputs["depth0"].grad, outputs["depth1"].grad),
+    )
+    return {
+        "avg_loss": float(avg_loss.detach()),
+        "g_fs": batch["final_scores"].grad.numpy(),
+        "g_kps0": np.swapaxes(batch["kps0"].grad.numpy(), 1, 2),
+        "g_kps1": np.swapaxes(batch["kps1"].grad.numpy(), 1, 2),
+        "g_depth0": np.swapaxes(batch["depth_kp0"].grad.numpy(), 1, 2),
+        "g_depth1": np.swapaxes(batch["depth_kp1"].grad.numpy(), 1, 2),
+        "mask_topk": outputs["mask_topk"].numpy(),
+    }
+
+
+def run_ours(p, cfg):
+    lc = LossConfig.from_cfg(cfg)
+
+    def total_fn(fs, kps0, depth0, kps1, depth1):
+        total, aux = metric_pose_loss(
+            fs, kps0, depth0, kps1, depth1,
+            jnp.asarray(p["K"]), jnp.asarray(p["K"]),
+            jnp.asarray(p["Kori"]), jnp.asarray(p["Kori"]),
+            jnp.asarray(p["T"][:, :3, :3]), jnp.asarray(p["T"][:, :3, 3][:, None, :]),
+            jax.random.PRNGKey(0), lc, jnp.float32(TOPK),
+            sample_override=(jnp.asarray(p["outer"]), jnp.asarray(p["inner"])),
+        )
+        return total, aux
+
+    with jax.default_matmul_precision("highest"):
+        (total, aux), grads = jax.value_and_grad(total_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            jnp.asarray(p["fs"]), jnp.asarray(p["kps0"]), jnp.asarray(p["depth0"]),
+            jnp.asarray(p["kps1"]), jnp.asarray(p["depth1"]),
+        )
+    return {
+        "avg_loss": float(aux["avg_loss"]),
+        "g_fs": np.asarray(grads[0]),
+        "g_kps0": np.asarray(grads[1]),
+        "g_depth0": np.asarray(grads[2]),
+        "g_kps1": np.asarray(grads[3]),
+        "g_depth1": np.asarray(grads[4]),
+        "mask_topk": np.asarray(aux["mask_topk"]),
+    }
+
+
+@pytest.mark.parametrize("loss_function", ["VCRE", "POSE_ERR"])
+@pytest.mark.parametrize("null_hyp", [True, False])
+def test_gradient_parity(loss_function, null_hyp):
+    cfg = make_cfg(loss_function=loss_function, null_hyp=null_hyp, topk=True)
+    p = make_problem(seed=hash((loss_function, null_hyp)) % 1000)
+    ref = run_reference(p, cfg)
+    ours = run_ours(p, cfg)
+
+    np.testing.assert_allclose(ours["mask_topk"], ref["mask_topk"], atol=0)
+    np.testing.assert_allclose(ours["avg_loss"], ref["avg_loss"], rtol=2e-4)
+
+    def cmp(name, atol_scale=1e-3):
+        a, b = ours[name], ref[name]
+        scale = max(np.abs(b).max(), 1e-8)
+        # rtol covers fp32 noise amplified by 1/final_scores on tiny-weight
+        # samples; atol covers the bulk.
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=atol_scale * scale, err_msg=name)
+
+    cmp("g_fs")
+    cmp("g_kps0")
+    cmp("g_kps1")
+    cmp("g_depth0")
+    cmp("g_depth1")
+
+
+def test_gradient_parity_no_curriculum():
+    cfg = make_cfg(topk=False)
+    p = make_problem(seed=7)
+    ref = run_reference(p, cfg)
+    ours = run_ours(p, cfg)
+    np.testing.assert_allclose(ours["avg_loss"], ref["avg_loss"], rtol=2e-4)
+    scale = max(np.abs(ref["g_fs"]).max(), 1e-8)
+    np.testing.assert_allclose(ours["g_fs"], ref["g_fs"], atol=1e-3 * scale)
+
+
+def test_gradient_parity_degenerate_samples():
+    """Minimal sets with repeated keypoints (rank-deficient covariances):
+    values still track the reference loosely and our gradients stay finite
+    where torch's can be numerically wild."""
+    cfg = make_cfg(topk=False)
+    rng = np.random.default_rng(11)
+    p = make_problem(seed=11)
+    # overwrite outer indices WITH kp collisions
+    p["outer"] = np.stack(
+        [rng.choice(N * N, size=(IT, S), replace=False) for _ in range(B)]
+    ).astype(np.int32)
+    ref = run_reference(p, cfg)
+    ours = run_ours(p, cfg)
+    np.testing.assert_allclose(ours["avg_loss"], ref["avg_loss"], rtol=5e-3)
+    assert np.isfinite(ours["g_fs"]).all()
+    assert np.isfinite(ours["g_kps0"]).all()
+    scale = max(np.abs(ref["g_fs"]).max(), 1e-8)
+    np.testing.assert_allclose(ours["g_fs"], ref["g_fs"], atol=2e-2 * scale)

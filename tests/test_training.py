@@ -1,0 +1,145 @@
+"""Training loop smoke tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from mickey_tpu.config import default_config
+
+
+def train_cfg(data_root=None):
+    cfg = default_config()
+    cfg.MICKEY.DINOV2.VARIANT = "vit_small"
+    cfg.MICKEY.DINOV2.CHANNEL_DIM = 384
+    cfg.MICKEY.DINOV2.FLOAT16 = False
+    cfg.MICKEY.KP_HEADS.BLOCKS_DIM = [32, 16, 128, 8]
+    cfg.MICKEY.DSC_HEAD.LAST_DIM = 16
+    if data_root is not None:
+        cfg.DATASET.DATA_ROOT = str(data_root)
+    cfg.DATASET.WIDTH = 112
+    cfg.DATASET.HEIGHT = 126
+    cfg.TRAINING.BATCH_SIZE = 8
+    cfg.TRAINING.NUM_WORKERS = 2
+    gh = cfg.LOSS_CLASS.GENERATE_HYPOTHESES
+    gh.IT_MATCHES = 2
+    gh.IT_RANSAC = 3
+    gh.NUM_CORR_3d3d = 5
+    gh.NUM_REF_STEPS = 1
+    cfg.LOSS_CLASS.SAMPLER.NUM_SAMPLES_MATCHES = 16
+    cfg.PROCRUSTES.IT_MATCHES = 2
+    cfg.PROCRUSTES.IT_RANSAC = 4
+    cfg.PROCRUSTES.NUM_SAMPLED_MATCHES = 12
+    cfg.PROCRUSTES.NUM_CORR_3D_3D = 3
+    cfg.PROCRUSTES.NUM_REFINEMENTS = 1
+    return cfg
+
+
+def synthetic_batch(rng, B=8, H=126, W=112):
+    T = np.zeros((B, 4, 4), np.float32)
+    from mickey_tpu.geometry.rotations import quat2mat
+
+    for b in range(B):
+        q = rng.normal(size=4)
+        T[b, :3, :3] = quat2mat(q / np.linalg.norm(q))
+        T[b, :3, 3] = rng.normal(size=3) * 0.3
+        T[b, 3, 3] = 1
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 100
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1
+    return {
+        "image0": rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32),
+        "image1": rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32),
+        "T_0to1": T,
+        "K_color0": K,
+        "K_color1": K,
+        "Kori_color0": K,
+        "Kori_color1": K,
+    }
+
+
+class TestTrainer:
+    def test_train_steps_update_params(self, rng, tmp_path):
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        assert len(jax.devices()) == 8, "expected virtual 8-device CPU mesh"
+        cfg = train_cfg()
+        trainer = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=0)
+
+        p_before = jax.device_get(trainer.state.params["matcher"]["dustbin_score"])
+        det_w_before = np.asarray(
+            jax.device_get(trainer.state.params["det_head"]["out"]["w"])
+        ).copy()
+
+        m1 = trainer.training_step(synthetic_batch(rng))
+        m2 = trainer.training_step(synthetic_batch(rng))
+        assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+        assert m1["grads_finite"] == 1.0
+        assert m1["num_valid"] == 8
+
+        det_w_after = np.asarray(jax.device_get(trainer.state.params["det_head"]["out"]["w"]))
+        assert np.abs(det_w_after - det_w_before).max() > 0, "params did not update"
+        assert int(jax.device_get(trainer.state.step)) == 2
+
+    def test_validation_and_aggregation(self, rng, tmp_path):
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        cfg = train_cfg()
+        trainer = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=1)
+        outs = [trainer.validation_step(synthetic_batch(rng, B=4)) for _ in range(2)]
+        assert outs[0]["R_err"].shape == (4,)
+        agg = trainer.aggregate_validation(outs)
+        assert set(agg) >= {
+            "val_vcre/auc_vcre",
+            "val_AUC_pose/auc_pose",
+            "val_AUC_pose/auc_pose_10",
+            "val_metric_pose/ours_R_err",
+        }
+        assert np.isfinite(agg["val_loss/loss"])
+
+    def test_checkpoint_roundtrip(self, rng, tmp_path):
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        cfg = train_cfg()
+        trainer = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=2)
+        trainer.training_step(synthetic_batch(rng))
+        trainer.topk = 45.0
+        trainer.maybe_checkpoint({"val_vcre/auc_vcre": 0.5, "val_AUC_pose/auc_pose": 0.5}, epoch=3)
+
+        trainer2 = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=99)
+        epoch = trainer2.resume(str(tmp_path / "last"))
+        assert epoch == 3
+        assert trainer2.topk == 45.0
+        assert trainer2.global_step == 1
+        a = jax.device_get(trainer.state.params["det_head"]["out"]["w"])
+        b = jax.device_get(trainer2.state.params["det_head"]["out"]["w"])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_curriculum_advances(self, tmp_path):
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        cfg = train_cfg()
+        trainer = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=3)
+        assert trainer.topk == 30.0
+        for _ in range(12):
+            trainer.on_train_epoch_end()
+        assert trainer.topk == 80.0
+
+    def test_bn_stats_updated_in_train_not_eval(self, rng, tmp_path):
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        cfg = train_cfg()
+        trainer = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=4)
+        stats_before = np.asarray(
+            jax.device_get(trainer.state.params["det_head"]["resblock1"]["bn1"]["mean"])
+        ).copy()
+        trainer.training_step(synthetic_batch(rng))
+        stats_after = np.asarray(
+            jax.device_get(trainer.state.params["det_head"]["resblock1"]["bn1"]["mean"])
+        )
+        assert np.abs(stats_after - stats_before).max() > 0, "BN stats did not advance"
+        # validation must not change them
+        trainer.validation_step(synthetic_batch(rng, B=4))
+        stats_after2 = np.asarray(
+            jax.device_get(trainer.state.params["det_head"]["resblock1"]["bn1"]["mean"])
+        )
+        np.testing.assert_array_equal(stats_after, stats_after2)
