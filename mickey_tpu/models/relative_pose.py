@@ -33,25 +33,36 @@ class RelativePoseOutput(NamedTuple):
 
 
 class MickeyRelativePose:
-    """Stateless-apply inference wrapper. Weights live in a params pytree."""
+    """Stateless-apply inference wrapper. Weights live in a params pytree.
+
+    ``lite=True`` returns only (R, t, confidence, valid) — the trunk's dense
+    intermediates (two ~120 MB match matrices per batch at the benchmark
+    resolution) are never materialized as jit outputs, which matters for
+    throughput and for the slow tunnel-transfer path. The demo/visualization
+    path uses the full output.
+    """
 
     def __init__(self, cfg, params: Optional[Params] = None, seed: int = 0):
         self.cfg = cfg
         self.params = params if params is not None else model_init(jax.random.PRNGKey(seed), cfg)
         self._apply = functools.partial(_forward, cfg=cfg)
 
-    def __call__(self, image0, image1, K0, K1, key=None) -> RelativePoseOutput:
+    def __call__(self, image0, image1, K0, K1, key=None, lite: bool = False):
         """image0/1: (B, H, W, 3) float in [0,1] NHWC; K: (B, 3, 3)."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        return self._apply(self.params, image0, image1, K0, K1, key)
+        return self._apply(self.params, image0, image1, K0, K1, key, lite=lite)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg_id",))
-def _forward_jit(params, image0, image1, K0, K1, key, cfg_id):
+@functools.partial(jax.jit, static_argnames=("cfg_id", "lite"))
+def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
     cfg = _CFG_REGISTRY[cfg_id]
     corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
     est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
+    if lite:
+        return RelativePoseOutput(
+            R=est.R, t=est.t, inliers=est.confidence, valid=est.valid, estimate=None, corr=None
+        )
     return RelativePoseOutput(
         R=est.R, t=est.t, inliers=est.confidence, valid=est.valid, estimate=est, corr=corr
     )
@@ -61,7 +72,7 @@ def _forward_jit(params, image0, image1, K0, K1, key, cfg_id):
 _CFG_REGISTRY: Dict[int, Any] = {}
 
 
-def _forward(params, image0, image1, K0, K1, key, cfg):
+def _forward(params, image0, image1, K0, K1, key, cfg, lite=False):
     cfg_id = id(cfg)
     _CFG_REGISTRY[cfg_id] = cfg
-    return _forward_jit(params, image0, image1, K0, K1, key, cfg_id)
+    return _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=lite)

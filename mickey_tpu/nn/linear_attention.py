@@ -104,3 +104,79 @@ def self_attention_transformer(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return x.reshape(b, h, w, c)
+
+
+def full_attention(q, k, v):
+    """O(N^2) softmax attention variant (att_layers/attention.py:23-44).
+    q, k, v: (B, S, H, D)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("nlhd,nshd->nlsh", q, k) / math.sqrt(d)
+    probs = jax.nn.softmax(logits, axis=2)
+    return jnp.einsum("nlsh,nshd->nlhd", probs, v)
+
+
+def _encoder_layer_apply_full(lp: Params, x: jnp.ndarray, source: jnp.ndarray, nheads: int = 8):
+    """EncoderLayer with full attention (attention='full' in the reference)."""
+    b, s, c = x.shape
+    d = c // nheads
+    q = linear(lp["q_proj"], x).reshape(b, -1, nheads, d)
+    k = linear(lp["k_proj"], source).reshape(b, -1, nheads, d)
+    v = linear(lp["v_proj"], source).reshape(b, -1, nheads, d)
+    msg = full_attention(q, k, v).reshape(b, s, c)
+    msg = linear(lp["merge"], msg)
+    msg = layernorm(lp["norm1"], msg)
+    msg = linear(lp["mlp_fc1"], jnp.concatenate([x, msg], axis=-1))
+    msg = jax.nn.relu(msg)
+    msg = linear(lp["mlp_fc2"], msg)
+    msg = layernorm(lp["norm2"], msg)
+    return x + msg
+
+
+def self_cross_transformer_init(key: jax.Array, d_model: int = 128, num_layers: int = 3) -> Params:
+    """Transformer_att counterpart (transformer.py:105-172): alternating
+    ['self', 'cross'] * num_layers layers."""
+    keys = jax.random.split(key, 2 * num_layers)
+    layers = [encoder_layer_init(k, d_model) for k in keys]
+    return {"layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers)}
+
+
+def self_cross_transformer(
+    params: Params, fmap0: jnp.ndarray, fmap1: jnp.ndarray, add_pos_enc: bool = False
+):
+    """Alternating self/cross attention over two feature maps
+    (Transformer_att.forward, transformer.py:135-172).
+    fmap0/1: (B, H, W, C) -> same shapes."""
+    b, h, w, c = fmap0.shape
+    if add_pos_enc:
+        pe = jnp.asarray(sine_position_encoding(c, h, w), dtype=fmap0.dtype)
+        fmap0 = fmap0 + pe[None]
+        fmap1 = fmap1 + pe[None]
+    x0 = fmap0.reshape(b, h * w, c)
+    x1 = fmap1.reshape(b, h * w, c)
+
+    def body(carry, layer_and_idx):
+        x0, x1 = carry
+        lp, i = layer_and_idx
+        is_self = i % 2 == 0
+
+        def self_fn(args):
+            a, b_ = args
+            return (
+                _encoder_layer_apply(lp, a, a),
+                _encoder_layer_apply(lp, b_, b_),
+            )
+
+        def cross_fn(args):
+            a, b_ = args
+            return (
+                _encoder_layer_apply(lp, a, b_),
+                _encoder_layer_apply(lp, b_, a),
+            )
+
+        out = jax.lax.cond(is_self, self_fn, cross_fn, (x0, x1))
+        return out, None
+
+    n_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    idxs = jnp.arange(n_layers)
+    (x0, x1), _ = jax.lax.scan(body, (x0, x1), (params["layers"], idxs))
+    return x0.reshape(b, h, w, c), x1.reshape(b, h, w, c)

@@ -66,6 +66,7 @@ def _log_weights(scores: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
         "th_inlier",
         "th_soft_inlier",
         "approx_sampling",
+        "prefilter",
     ),
 )
 def estimate_pose(
@@ -85,11 +86,21 @@ def estimate_pose(
     th_inlier: float = 0.15,
     th_soft_inlier: float = 0.3,
     approx_sampling: bool = False,
+    prefilter: int = 0,
 ) -> PoseEstimate:
     """Metric relative pose from soft correspondence scores.
 
     Reference: estimate_pose_vectorized (probabilisticProcrustes.py:183-348)
     with config defaults from PROCRUSTES.* (curriculum_learning.yaml:89-96).
+
+    prefilter > 0 enables two-stage sampling: the N0*N1 score matrix is
+    reduced ONCE to its top-`prefilter` entries and the it_matches
+    independent draws sample from that subset. The dual-softmax match
+    distribution is extremely peaked (the tail of ~1e-12 scores carries
+    negligible mass), so the sampling distribution is statistically
+    unchanged while the dominant cost — it_matches sorts over millions of
+    categories — collapses to one. prefilter=0 keeps the exact reference
+    distribution.
     """
     B, N0, N1 = final_scores.shape
     scores_flat = final_scores.reshape(B, N0 * N1).astype(jnp.float32)
@@ -101,7 +112,18 @@ def estimate_pose(
         & jnp.all(scores_flat >= 0, axis=-1)
         & (jnp.sum(scores_flat, axis=-1) > 0)
     )
-    logw = _log_weights(scores_flat)
+
+    if prefilter and prefilter < N0 * N1:
+        # approx_max_k: the TPU-native large-k top-K (exact lax.top_k with
+        # k~16K over millions of categories is pathologically slow on TPU).
+        # recall_target=0.95 on an already-conservative prefilter leaves the
+        # sampling distribution statistically unchanged.
+        top_scores, top_idx = jax.lax.approx_max_k(scores_flat, prefilter, recall_target=0.95)
+        logw = _log_weights(top_scores)  # (B, prefilter)
+        remap = top_idx.astype(jnp.int32)  # (B, prefilter)
+    else:
+        logw = _log_weights(scores_flat)
+        remap = None
 
     kps0 = kps0.astype(jnp.float32)
     kps1 = kps1.astype(jnp.float32)
@@ -117,6 +139,8 @@ def estimate_pose(
 
         # -- outer draw: num_samples candidate matches ∝ final_scores
         idx = gumbel_topk_sample(k_outer, logw, num_samples, approx=approx_sampling)  # (B, S)
+        if remap is not None:
+            idx = jnp.take_along_axis(remap, idx, axis=1)
         idx0 = idx // N1
         idx1 = idx % N1
 
@@ -253,6 +277,7 @@ def estimate_pose_from_cfg(key, corr, K0, K1, cfg, final_scores=None):
         th_inlier=pc.TH_INLIER,
         th_soft_inlier=pc.TH_SOFT_INLIER,
         approx_sampling=cfg.TPU.SAMPLING == "approx",
+        prefilter=int(cfg.TPU.get("SAMPLING_PREFILTER", 0) or 0),
     )
 
 

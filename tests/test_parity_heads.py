@@ -223,3 +223,38 @@ class TestMatcher:
         params = {"dustbin_score": jnp.asarray(1.0)}
         out = sinkhorn(params, jnp.asarray(d0.transpose(0, 2, 1)), jnp.asarray(d1.transpose(0, 2, 1)), cfg)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+
+class TestSelfCrossTransformer:
+    def test_parity_transformer_att(self):
+        from lib.models.MicKey.modules.att_layers.transformer import Transformer_att
+
+        from mickey_tpu.nn.linear_attention import self_cross_transformer
+        from mickey_tpu.training.checkpoint import _convert_att_transformer
+
+        torch.manual_seed(11)
+        att = Transformer_att(d_model=128, num_layers=2, add_posEnc=True).eval()
+        x0 = _fmap(11, 128)
+        x1 = _fmap(12, 128)
+        with torch.no_grad():
+            r0, r1 = att(torch.from_numpy(x0), torch.from_numpy(x1))
+        p = _convert_att_transformer(att.state_dict(), "", num_layers=4)
+        o0, o1 = self_cross_transformer(p, to_nhwc(x0), to_nhwc(x1), add_pos_enc=True)
+        np.testing.assert_allclose(from_nhwc(o0), r0.numpy(), atol=5e-5)
+        np.testing.assert_allclose(from_nhwc(o1), r1.numpy(), atol=5e-5)
+
+    def test_full_attention_matches_torch(self):
+        from lib.models.MicKey.modules.att_layers.attention import Attention
+
+        from mickey_tpu.nn.linear_attention import full_attention
+
+        torch.manual_seed(12)
+        rng = np.random.default_rng(12)
+        q = rng.normal(size=(2, 10, 8, 16)).astype(np.float32)
+        k = rng.normal(size=(2, 12, 8, 16)).astype(np.float32)
+        v = rng.normal(size=(2, 12, 8, 16)).astype(np.float32)
+        ref = Attention(attention="full")(*map(torch.from_numpy, (q, k, v))).numpy()
+        import jax.numpy as jnp_
+
+        ours = np.asarray(full_attention(jnp_.asarray(q), jnp_.asarray(k), jnp_.asarray(v)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)

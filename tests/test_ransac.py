@@ -137,3 +137,22 @@ class TestEstimatePose:
         )
         est = estimate_pose(jax.random.PRNGKey(6), **inputs, **SOLVER_KW)
         np.testing.assert_allclose(np.asarray(est.R), R_gt, atol=5e-3)
+
+
+class TestPrefilter:
+    def test_prefilter_matches_exact_pose(self, rng):
+        """Two-stage sampling (top-K prefilter) must recover the same pose as
+        exact sampling on a peaked score matrix."""
+        inputs, (R_gt, t_gt) = make_scene(rng, B=2, N=24, outlier_frac=0.4)
+        exact = estimate_pose(jax.random.PRNGKey(7), **inputs, **SOLVER_KW)
+        pref = estimate_pose(jax.random.PRNGKey(7), **inputs, **SOLVER_KW, prefilter=64)
+        np.testing.assert_allclose(np.asarray(exact.R), R_gt, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(pref.R), R_gt, atol=5e-3)
+        # confidences on the same scale
+        assert np.abs(np.asarray(pref.confidence) - np.asarray(exact.confidence)).max() < 3.0
+
+    def test_prefilter_larger_than_matrix_is_exact(self, rng):
+        inputs, _ = make_scene(rng)
+        a = estimate_pose(jax.random.PRNGKey(8), **inputs, **SOLVER_KW)
+        b = estimate_pose(jax.random.PRNGKey(8), **inputs, **SOLVER_KW, prefilter=10**9)
+        np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
