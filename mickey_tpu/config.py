@@ -235,6 +235,7 @@ def default_config() -> Config:
                 # faster than exact sampling on v5e.
                 "SAMPLING_PREFILTER": 4096,
                 "USE_PALLAS_ATTENTION": True,
+                "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
             },
         }

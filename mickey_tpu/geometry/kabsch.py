@@ -197,6 +197,15 @@ def _svd3x3_bwd(residuals, cot):
 svd3x3.defvjp(_svd3x3_fwd, _svd3x3_bwd)
 
 
+def _outer_sum(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Covariance H_ij = sum_n A_ni B_nj as broadcast multiply-adds.
+
+    A K=3-wide einsum wastes the MXU and (at HIGHEST precision) triggers
+    multi-pass emulation; elementwise VPU math is exact fp32 and fuses.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., :, None, :], axis=-3)
+
+
 class ProcrustesResult(NamedTuple):
     R: jnp.ndarray  # (..., 3, 3)
     t: jnp.ndarray  # (..., 1, 3)
@@ -233,13 +242,13 @@ def weighted_procrustes(
         A_c = A - a_mean
         B_c = B - b_mean
         cov_w = w[..., None] if use_mask else w_norm
-        H = jnp.einsum("...ni,...nj->...ij", A_c, cov_w * B_c, precision=jax.lax.Precision.HIGHEST)
+        H = _outer_sum(A_c, cov_w * B_c)
     else:
         a_mean = jnp.mean(A, axis=-2, keepdims=True)
         b_mean = jnp.mean(B, axis=-2, keepdims=True)
         A_c = A - a_mean
         B_c = B - b_mean
-        H = jnp.einsum("...ni,...nj->...ij", A_c, B_c, precision=jax.lax.Precision.HIGHEST)
+        H = _outer_sum(A_c, B_c)
 
     U, S, V = svd3x3(H)
 

@@ -60,5 +60,13 @@ def project_2d(xyz: jnp.ndarray, K: jnp.ndarray, eps: float = 1e-16) -> jnp.ndar
 
 
 def transform_points(R: jnp.ndarray, t: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
-    """Apply rigid transform: R (...,3,3) @ X (...,N,3) + t (...,1,3)."""
-    return jnp.einsum("...ij,...nj->...ni", R, X, precision=jax.lax.Precision.HIGHEST) + t
+    """Apply rigid transform: R (...,3,3) @ X (...,N,3) + t (...,1,3).
+
+    Written as broadcast multiply-adds rather than an einsum: a K=3
+    contraction is useless to the MXU, and elementwise VPU math is exact fp32
+    without multi-pass precision emulation — this is the RANSAC scoring hot
+    loop (millions of point transforms per solve).
+    """
+    # (..., N, 1, 3) * (..., 1, 3, 3) summed over the last axis
+    out = jnp.sum(X[..., None, :] * R[..., None, :, :], axis=-1)
+    return out + t

@@ -161,6 +161,85 @@ class MicKeyTrainer:
         self.topk = float(restored["extra"]["topk"])
         return int(restored["extra"]["epoch"])
 
+    # -- TB image logging (reference tensorboard_log_step, model.py:149-196) ---
+    def log_training_images(self, batch: Dict):
+        """Log match / score-map / depth-map / reward panels for one pair.
+
+        Only small tensors cross the device boundary: top-60 mutual matches,
+        the (H/14, W/14) score/depth grids, and the REINFORCE sampling
+        coefficients — the dense match matrix stays on device.
+        """
+        import jax.numpy as jnp
+
+        from ..nn.extractor import compute_correspondences
+        from ..nn.matcher import mutual_matches_device
+        from ..training.loss import LossConfig, metric_pose_loss
+        from ..utils.viz import colorize_depth, draw_matches, draw_reward_matches, prepare_score_map
+
+        cfg = self.cfg
+        lc = LossConfig.from_cfg(cfg)
+
+        if not hasattr(self, "_viz_step"):
+            @jax.jit
+            def _viz_step(trainable, backbone, batch, key):
+                params = dict(trainable, dinov2=backbone)
+                corr, _ = compute_correspondences(
+                    params, batch["image0"][:1], batch["image1"][:1], cfg, train=False
+                )
+                fs = corr.scores * corr.kp_scores
+                rows, cols, msc = mutual_matches_device(fs[0])
+                Rgt = batch["T_0to1"][:1, :3, :3]
+                tgt = batch["T_0to1"][:1, :3, 3][:, None, :]
+                _, aux = metric_pose_loss(
+                    fs, corr.kps0, corr.depth0, corr.kps1, corr.depth1,
+                    batch["K_color0"][:1], batch["K_color1"][:1],
+                    batch["Kori_color0"][:1], batch["Kori_color1"][:1],
+                    Rgt, tgt, key, lc, jnp.float32(100.0),
+                )
+                pts0 = jnp.take(corr.kps0[0], jnp.maximum(rows, 0), axis=0)
+                pts1 = jnp.take(corr.kps1[0], jnp.maximum(cols, 0), axis=0)
+                draw0 = aux["sampled_idx"][0, 0]  # (S,)
+                samp0 = jnp.take(corr.kps0[0], draw0 // fs.shape[2], axis=0)
+                samp1 = jnp.take(corr.kps1[0], draw0 % fs.shape[2], axis=0)
+                # per-sample REINFORCE coefficient: sum over all draws that
+                # contain the sample of (loss_i - baseline) — the reference's
+                # "gradients" matrix restricted to draw-0 samples
+                lv = aux["loss_value"][0] - jnp.mean(aux["loss_value"][0])  # (it,)
+                membership = draw0[:, None, None] == aux["sampled_idx"][0][None, :, :]
+                coeff = jnp.sum(membership * lv[None, :, None], axis=(1, 2))  # (S,)
+                return {
+                    "pts0": pts0, "pts1": pts1, "msc": msc, "rows": rows,
+                    "scr0": corr.scr0[0], "scr1": corr.scr1[0],
+                    "depth0": corr.depth_map0[0, :, :, 0], "depth1": corr.depth_map1[0, :, :, 0],
+                    "samp0": samp0, "samp1": samp1, "coeff": coeff,
+                }
+
+            self._viz_step = _viz_step
+
+        db = self._device_batch(batch)
+        self.key, sk = jax.random.split(self.key)
+        out = {k: np.asarray(v) for k, v in self._viz_step(
+            self.state.params, self.backbone, db, sk
+        ).items()}
+
+        im0 = np.asarray(batch["image0"][0])
+        im1 = np.asarray(batch["image1"][0])
+        valid = out["rows"] >= 0
+        if valid.any():
+            self.log_image(
+                "training_matching/best_matches_desc",
+                draw_matches(im0, im1, out["pts0"][valid], out["pts1"][valid], out["msc"][valid]),
+            )
+        self.log_image("training_scores/map0", prepare_score_map(out["scr0"], im0)[:, :, ::-1] / 255.0)
+        self.log_image("training_scores/map1", prepare_score_map(out["scr1"], im1)[:, :, ::-1] / 255.0)
+        self.log_image("training_depth/map0", colorize_depth(out["depth0"])[:, :, :3] / 255.0)
+        self.log_image("training_depth/map1", colorize_depth(out["depth1"])[:, :, :3] / 255.0)
+        # reward panel: draw-0 samples colored by their REINFORCE coefficient
+        self.log_image(
+            "training_rewards/pair0",
+            draw_reward_matches(im0, im1, out["samp0"], out["samp1"], out["coeff"]),
+        )
+
     # -- full fit loop ---------------------------------------------------------
     def fit(self, datamodule, max_epochs: Optional[int] = None, val_batches: Optional[int] = None,
             log_interval: Optional[int] = None, resume_path: Optional[str] = None):
@@ -181,6 +260,8 @@ class MicKeyTrainer:
                     for k, v in metrics.items():
                         self.log_scalar(f"train/{k}", v)
                     self.log_scalar("train/topk", self.topk)
+                    if self.cfg.TPU.get("LOG_IMAGES", False):
+                        self.log_training_images(batch)
                     print(
                         f"epoch {epoch} step {self.global_step} "
                         f"loss {metrics['loss']:.4f} gnorm {metrics['grad_norm']:.2f}",

@@ -112,3 +112,23 @@ def get_matches_list(scores: np.ndarray, min_conf: float = 0.0) -> np.ndarray:
     matches = np.stack([rows, cols], axis=1)
     order = np.argsort(-s[rows, cols])
     return matches[order]
+
+
+def mutual_matches_device(final_scores: jnp.ndarray, k: int = 60):
+    """Device-side mutual-NN match extraction, top-k by score.
+
+    final_scores: (N0, N1). Returns (idx0, idx1, score) each (k,), padded
+    with -1/-inf where fewer than k mutual matches exist. Device analog of
+    ``get_matches_list`` that avoids transferring the dense matrix to host
+    (the reference pulls the full matrix, feature_matcher.py:19-46).
+    """
+    core = final_scores[:-1, :-1]  # reference crops the last row/col
+    idx0 = jnp.argmax(core, axis=1)
+    idx1 = jnp.argmax(core, axis=0)
+    mutual = jnp.arange(core.shape[0]) == idx1[idx0]
+    score = jnp.where(mutual, jnp.max(core, axis=1), -jnp.inf)
+    top_s, top_r = jax.lax.top_k(score, k)
+    valid = jnp.isfinite(top_s)
+    rows = jnp.where(valid, top_r, -1)
+    cols = jnp.where(valid, idx0[top_r], -1)
+    return rows, cols, jnp.where(valid, top_s, 0.0)

@@ -37,7 +37,18 @@ def gumbel_topk_sample(
     """
     g = jax.random.gumbel(key, log_weights.shape, dtype=log_weights.dtype)
     perturbed = log_weights + g
-    if approx:
+    if k <= 8:
+        # Small-k path: XLA lowers top_k to a full sort, which is ~10x the
+        # cost of k unrolled argmax+mask reductions for minimal RANSAC sets.
+        idxs = []
+        for _ in range(k):
+            i = jnp.argmax(perturbed, axis=-1)
+            idxs.append(i)
+            perturbed = jnp.where(
+                jax.nn.one_hot(i, perturbed.shape[-1], dtype=bool), -jnp.inf, perturbed
+            )
+        idx = jnp.stack(idxs, axis=-1)
+    elif approx:
         _, idx = jax.lax.approx_max_k(perturbed, k)
     else:
         _, idx = jax.lax.top_k(perturbed, k)

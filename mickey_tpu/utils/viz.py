@@ -117,3 +117,43 @@ def draw_matches(
         canvas = cv2.circle(canvas, p0, 3, color, 2)
         canvas = cv2.circle(canvas, p1, 3, color, 2)
     return canvas / 255.0
+
+
+def draw_reward_matches(
+    image0: np.ndarray,
+    image1: np.ndarray,
+    pts0: np.ndarray,
+    pts1: np.ndarray,
+    coeffs: np.ndarray,
+    max_points: int = 30,
+    gap: int = 50,
+) -> np.ndarray:
+    """REINFORCE reward visualization (training_utils.debug_reward_matches_log):
+    sampled correspondences colored green (reward: negative coefficient pushes
+    the match probability up) or red (penalty). Returns float (H, W', 3)."""
+    import cv2
+
+    im0 = (255 * np.asarray(image0)).astype(np.float64)
+    im1 = (255 * np.asarray(image1)).astype(np.float64)
+    h, w = im0.shape[:2]
+    canvas = 255 * np.ones((h, w * 2 + gap, 3))
+    canvas[:, :w] = im0
+    canvas[:, w + gap :] = im1
+
+    c = np.asarray(coeffs, np.float64)
+    rel = c - c.min()
+    rel = 1.0 - rel / (rel.max() + 1e-16)  # 1 = best (lowest loss), 0 = worst
+
+    order = np.argsort(rel)
+    pick = np.concatenate([order[: max_points // 2], order[-max_points // 2 :]])
+    for i in pick:
+        p0 = tuple(int(v) for v in pts0[i])
+        p1 = (int(pts1[i][0]) + w + gap, int(pts1[i][1]))
+        if rel[i] < 0.5:
+            color = [int((1 - rel[i]) * 255), 0, 0]
+        else:
+            color = [0, int(rel[i] * 255), 0]
+        canvas = cv2.line(canvas, p0, p1, color, 1)
+        canvas = cv2.circle(canvas, p0, 6, color, 2)
+        canvas = cv2.circle(canvas, p1, 6, color, 2)
+    return canvas / 255.0

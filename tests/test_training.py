@@ -143,3 +143,58 @@ class TestTrainer:
             jax.device_get(trainer.state.params["det_head"]["resblock1"]["bn1"]["mean"])
         )
         np.testing.assert_array_equal(stats_after, stats_after2)
+
+
+class TestFitLoop:
+    def test_fit_one_epoch_synthetic_dataset(self, tmp_path, monkeypatch):
+        """Full fit(): train epoch + validation + checkpointing on the
+        synthetic Map-free dataset (exercises the train CLI path)."""
+        import cv2
+
+        from mickey_tpu.data.loader import DataModuleTraining
+        from mickey_tpu.geometry.rotations import quat2mat
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        rng = np.random.default_rng(0)
+        root = tmp_path / "data"
+        for split, scene in (("train", "s0"), ("val", "s1")):
+            sdir = root / split / scene
+            (sdir / "seq0").mkdir(parents=True)
+            (sdir / "seq1").mkdir(parents=True)
+            poses, intr = [], []
+
+            def add(name):
+                cv2.imwrite(str(sdir / name), rng.uniform(0, 255, (130, 116, 3)).astype(np.uint8))
+                q = rng.normal(size=4)
+                q /= np.linalg.norm(q)
+                t = rng.normal(size=3) * 0.3
+                poses.append(f"{name} " + " ".join(f"{v:.6f}" for v in [*q, *t]))
+                intr.append(f"{name} 110.0 110.0 58.0 65.0 116 130")
+
+            add("seq0/frame_00000.jpg")
+            for i in range(6):
+                add(f"seq1/frame_{i:05}.jpg")
+            (sdir / "poses.txt").write_text("\n".join(poses) + "\n")
+            (sdir / "intrinsics.txt").write_text("\n".join(intr) + "\n")
+            if split == "train":
+                idxs = np.array([[1, i, 1, i + 1] for i in range(5)], dtype=np.uint16)
+                np.savez(sdir / "overlaps.npz", idxs=idxs, overlaps=np.full(5, 0.5))
+
+        cfg = train_cfg(root)
+        cfg.DATASET.MIN_OVERLAP_SCORE = 0.0
+        cfg.DATASET.MAX_OVERLAP_SCORE = 1.0
+        cfg.TRAINING.BATCH_SIZE = 8
+        cfg.TRAINING.N_SAMPLES_SCENE = 8
+        cfg.TRAINING.LOG_INTERVAL = 1
+        cfg.TRAINING.EPOCHS = 1
+        cfg.TRAINING.VAL_BATCHES = 1
+        cfg.TPU.LOG_IMAGES = True  # exercise the TB image panels
+
+        out_dir = tmp_path / "run"
+        trainer = MicKeyTrainer(cfg, out_dir=str(out_dir), seed=0)
+        dm = DataModuleTraining(cfg)
+        trainer.fit(dm, max_epochs=1, val_batches=1, log_interval=1)
+
+        assert trainer.global_step >= 1
+        assert (out_dir / "last").exists()
+        assert trainer.topk == 35.0  # curriculum advanced once
