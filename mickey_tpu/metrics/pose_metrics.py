@@ -116,3 +116,30 @@ class MetricsAccumulator:
 
     def aggregate(self) -> Dict[str, np.ndarray]:
         return {k: np.concatenate(v) for k, v in self.data.items()}
+
+
+def ecdf(x: np.ndarray):
+    """Empirical CDF (reference metrics.py:149-153): returns (values, cdf)."""
+    cd = np.linspace(0, 1, np.asarray(x).shape[0])
+    v = np.sort(np.asarray(x))
+    return v, cd
+
+
+def precision(agg_metrics: Dict[str, np.ndarray], rot_threshold: float, trans_threshold: float) -> float:
+    """Ratio of samples within both thresholds (reference metrics.py:173-178)."""
+    mask_rot = np.asarray(agg_metrics["R_err"]) <= rot_threshold
+    mask_trans = np.asarray(agg_metrics["t_err_euc"]) <= trans_threshold
+    return float((mask_rot * mask_trans).mean())
+
+
+def print_auc_table(agg_metrics: Dict[str, np.ndarray]) -> None:
+    """Console AUC summary (reference metrics.py:156-170)."""
+    pose_err = np.maximum(np.asarray(agg_metrics["R_err"]), np.asarray(agg_metrics["t_err_ang"]))
+    a = error_auc(pose_err, (5, 10, 20))
+    print("Pose error AUC @ 5/10/20deg: {0:.3f}/{1:.3f}/{2:.3f}".format(*a.values()))
+    a = error_auc(agg_metrics["R_err"], (5, 10, 20))
+    print("Rotation error AUC @ 5/10/20deg: {0:.3f}/{1:.3f}/{2:.3f}".format(*a.values()))
+    a = error_auc(agg_metrics["t_err_ang"], (5, 10, 20))
+    print("Translation angular error AUC @ 5/10/20deg: {0:.3f}/{1:.3f}/{2:.3f}".format(*a.values()))
+    a = error_auc(agg_metrics["t_err_euc"], (0.1, 0.5, 1))
+    print("Translation Euclidean error AUC @ 0.1/0.5/1m: {0:.3f}/{1:.3f}/{2:.3f}".format(*a.values()))

@@ -43,6 +43,12 @@ VIT_CONFIGS = {
 }
 
 
+def swiglu_hidden_dim(dim: int, mlp_ratio: float = 4.0) -> int:
+    """SwiGLUFFNFused hidden size (reference swiglu_ffn.py:56): 2/3 of the
+    MLP hidden, rounded up to a multiple of 8."""
+    return (int(dim * mlp_ratio * 2 / 3) + 7) // 8 * 8
+
+
 def vit_init(
     key: jax.Array,
     variant: str = "vit_large",
@@ -50,6 +56,7 @@ def vit_init(
     patch_size: int = 14,
     in_chans: int = 3,
     mlp_ratio: float = 4.0,
+    ffn_layer: str = "mlp",
 ) -> Params:
     """Random-init ViT params (same shapes as the torch state_dict converts to)."""
     c = VIT_CONFIGS[variant]
@@ -60,6 +67,19 @@ def vit_init(
 
     def block_init(k):
         ks = jax.random.split(k, 4)
+        if ffn_layer == "mlp":
+            mlp = {
+                "fc1": linear_init(ks[2], dim, hidden, init="trunc_normal"),
+                "fc2": linear_init(ks[3], hidden, dim, init="trunc_normal"),
+            }
+        elif ffn_layer in ("swiglu", "swiglufused"):
+            sh = swiglu_hidden_dim(dim, mlp_ratio)
+            mlp = {
+                "w12": linear_init(ks[2], dim, 2 * sh, init="trunc_normal"),
+                "w3": linear_init(ks[3], sh, dim, init="trunc_normal"),
+            }
+        else:
+            raise NotImplementedError(ffn_layer)
         return {
             "norm1": layernorm_init(dim),
             "attn": {
@@ -68,10 +88,7 @@ def vit_init(
             },
             "ls1": {"gamma": jnp.ones((dim,), jnp.float32)},
             "norm2": layernorm_init(dim),
-            "mlp": {
-                "fc1": linear_init(ks[2], dim, hidden, init="trunc_normal"),
-                "fc2": linear_init(ks[3], hidden, dim, init="trunc_normal"),
-            },
+            "mlp": mlp,
             "ls2": {"gamma": jnp.ones((dim,), jnp.float32)},
         }
 
@@ -169,9 +186,14 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * attn
 
     h = layernorm(bp["norm2"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
-    h = linear(bp["mlp"]["fc1"], h)
-    h = jax.nn.gelu(h, approximate=False)
-    h = linear(bp["mlp"]["fc2"], h)
+    if "fc1" in bp["mlp"]:
+        h = linear(bp["mlp"]["fc1"], h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = linear(bp["mlp"]["fc2"], h)
+    else:  # SwiGLU FFN (swiglu_ffn.py:29-33)
+        h12 = linear(bp["mlp"]["w12"], h)
+        h1, h2 = jnp.split(h12, 2, axis=-1)
+        h = linear(bp["mlp"]["w3"], jax.nn.silu(h1) * h2)
     x = x + bp["ls2"]["gamma"].astype(x.dtype) * h
     return x
 

@@ -59,10 +59,17 @@ def convert_dinov2_state_dict(sd: Dict[str, Any], depth: int = 24) -> Params:
                 },
                 "ls1": {"gamma": _vec(sd[pre + "ls1.gamma"])},
                 "norm2": {"scale": _vec(sd[pre + "norm2.weight"]), "bias": _vec(sd[pre + "norm2.bias"])},
-                "mlp": {
-                    "fc1": {"w": _lin(sd[pre + "mlp.fc1.weight"]), "b": _vec(sd[pre + "mlp.fc1.bias"])},
-                    "fc2": {"w": _lin(sd[pre + "mlp.fc2.weight"]), "b": _vec(sd[pre + "mlp.fc2.bias"])},
-                },
+                "mlp": (
+                    {
+                        "fc1": {"w": _lin(sd[pre + "mlp.fc1.weight"]), "b": _vec(sd[pre + "mlp.fc1.bias"])},
+                        "fc2": {"w": _lin(sd[pre + "mlp.fc2.weight"]), "b": _vec(sd[pre + "mlp.fc2.bias"])},
+                    }
+                    if pre + "mlp.fc1.weight" in sd
+                    else {
+                        "w12": {"w": _lin(sd[pre + "mlp.w12.weight"]), "b": _vec(sd[pre + "mlp.w12.bias"])},
+                        "w3": {"w": _lin(sd[pre + "mlp.w3.weight"]), "b": _vec(sd[pre + "mlp.w3.bias"])},
+                    }
+                ),
                 "ls2": {"gamma": _vec(sd[pre + "ls2.gamma"])},
             }
         )

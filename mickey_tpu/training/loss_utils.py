@@ -94,3 +94,27 @@ def compute_vcre_loss(R, t, Rgt, tgt, K0, K1, soft_clipping: bool = True):
     loss_rot, _ = rot_angle_loss(R, Rgt)
     loss_trans = trans_l1_loss(t, tgt)
     return loss, loss_rot, loss_trans
+
+
+def compute_angular_error(R, t, Rgt, tgt):
+    """max(rot, trans-angle) loss variant (loss_utils.py:5-10)."""
+    loss_rot, _ = rot_angle_loss(R, Rgt)
+    loss_trans, _ = trans_ang_loss(t, tgt)
+    max_loss = jnp.max(jnp.concatenate([loss_rot, loss_trans], axis=-1), axis=-1)
+    return max_loss, loss_rot, loss_trans
+
+
+def compute_angular_error_weighted(R, t, Rgt, tgt, weights_t):
+    """Weighted-translation variant (loss_utils.py:12-17)."""
+    loss_rot, _ = rot_angle_loss(R, Rgt)
+    loss_trans, _ = trans_ang_loss(t, tgt)
+    max_loss = jnp.max(jnp.concatenate([loss_rot, loss_trans * weights_t], axis=-1), axis=-1)
+    return max_loss, loss_rot, loss_trans
+
+
+def ess_sq_euclidean_error(E: jnp.ndarray, Egt: jnp.ndarray) -> jnp.ndarray:
+    """Normalized essential-matrix squared error (loss_utils.py:19-24)."""
+    B = E.shape[0]
+    E_norm = E / E[:, 2, 2].reshape(B, 1, 1)
+    Egt_norm = Egt / Egt[:, 2, 2].reshape(B, 1, 1)
+    return jnp.sum(jnp.square(E_norm - Egt_norm).reshape(B, -1), axis=1)

@@ -87,3 +87,33 @@ def test_bf16_backbone_close_to_fp32(ref_vit):
     # relative drift of normalized features
     denom = np.abs(f32).mean()
     assert np.abs(bf16 - f32).mean() / denom < 0.05
+
+
+def test_swiglu_ffn_parity():
+    """SwiGLU FFN variant matches the reference (vit_small, ffn_layer=swiglufused)."""
+    from lib.models.MicKey.modules.DINO_modules.dinov2 import vit_small
+
+    from mickey_tpu.nn.dinov2 import vit_forward_features as fwd
+
+    torch.manual_seed(5)
+    model = vit_small(
+        img_size=518, patch_size=14, init_values=1.0, ffn_layer="swiglufused", block_chunks=0
+    ).eval()
+    g = torch.Generator().manual_seed(6)
+    with torch.no_grad():
+        model.pos_embed.copy_(0.02 * torch.randn(model.pos_embed.shape, generator=g))
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (1, 3, 70, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.forward_features(torch.from_numpy(img))["x_norm_patchtokens"].numpy()
+    params = convert_dinov2_state_dict(model.state_dict(), depth=12)
+    with jax.default_matmul_precision("highest"):
+        ours = fwd(
+            jax.tree.map(jnp.asarray, params),
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            num_heads=6,
+            dtype=jnp.float32,
+            use_pallas=False,
+        )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)

@@ -205,7 +205,10 @@ def run_ours(p, cfg):
 @pytest.mark.parametrize("null_hyp", [True, False])
 def test_gradient_parity(loss_function, null_hyp):
     cfg = make_cfg(loss_function=loss_function, null_hyp=null_hyp, topk=True)
-    p = make_problem(seed=hash((loss_function, null_hyp)) % 1000)
+    # deterministic seed (NOT hash(): PYTHONHASHSEED randomizes per process)
+    seed = {("VCRE", True): 101, ("VCRE", False): 202,
+            ("POSE_ERR", True): 303, ("POSE_ERR", False): 404}[(loss_function, null_hyp)]
+    p = make_problem(seed=seed)
     ref = run_reference(p, cfg)
     ours = run_ours(p, cfg)
 
