@@ -155,3 +155,42 @@ class TestSubmissionEndToEnd:
         assert "Average Median Translation Error" in metrics
         assert 0 <= metrics["Estimates for % of frames"] <= 1
         assert metrics["Estimates for % of frames"] > 0
+
+
+class TestNativeIO:
+    def test_native_decode_matches_cv2(self, tmp_path):
+        import cv2
+
+        from mickey_tpu.data.native import ensure_built, read_batch
+
+        if ensure_built() is None:
+            pytest.skip("native extension unavailable")
+
+        rng = np.random.default_rng(3)
+        paths = []
+        for i in range(3):
+            img = rng.integers(0, 255, (96, 80, 3), dtype=np.uint8)
+            p = tmp_path / f"im{i}.jpg"
+            cv2.imwrite(str(p), img)
+            paths.append(str(p))
+
+        out = read_batch(paths, width=56, height=70, num_threads=2)
+        assert out.shape == (3, 70, 56, 3) and out.dtype == np.float32
+
+        for i, p in enumerate(paths):
+            ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            ref = cv2.resize(ref, (56, 70)).astype(np.float32) / 255.0
+            assert np.abs(out[i] - ref).mean() < 5e-3
+
+    def test_native_corrupt_jpeg_zero_filled(self):
+        from mickey_tpu.data.native import decode_resize_batch, ensure_built
+
+        if ensure_built() is None:
+            pytest.skip("native extension unavailable")
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = decode_resize_batch([b"not a jpeg"], 28, 28, num_threads=1)
+        assert out.shape == (1, 28, 28, 3)
+        assert (out == 0).all()
