@@ -59,6 +59,9 @@ class LossConfig(NamedTuple):
     add_null_hypothesis: bool = True
     th_outliers: float = 0.35
     train_with_topk: bool = True
+    # two-stage sampling prefilter (see solver/procrustes_ransac.py); 0 = the
+    # exact reference sampling distribution
+    prefilter: int = 0
 
     @classmethod
     def from_cfg(cls, cfg) -> "LossConfig":
@@ -85,6 +88,7 @@ class LossConfig(NamedTuple):
             train_with_topk=bool(
                 lc.CURRICULUM_LEARNING.TRAIN_WITH_TOPK or lc.CURRICULUM_LEARNING.TRAIN_CURRICULUM
             ),
+            prefilter=int(cfg.get("TPU", {}).get("SAMPLING_PREFILTER", 0) or 0),
         )
 
 
@@ -133,13 +137,21 @@ def metric_pose_loss(
     if sample_override is not None:
         idx, ridx = sample_override
     else:
-        logw = jnp.where(matches > 0, jnp.log(jnp.maximum(matches, 1e-30)), _NEG_INF)
+        if lc.prefilter and lc.prefilter < N0 * N1:
+            top_scores, top_idx = jax.lax.approx_max_k(matches, lc.prefilter, recall_target=0.95)
+            logw = jnp.where(top_scores > 0, jnp.log(jnp.maximum(top_scores, 1e-30)), _NEG_INF)
+            remap = top_idx.astype(jnp.int32)
+        else:
+            logw = jnp.where(matches > 0, jnp.log(jnp.maximum(matches, 1e-30)), _NEG_INF)
+            remap = None
 
         def samp(_, k):
             return None, gumbel_topk_sample(k, logw, S)
 
         _, idx_scan = jax.lax.scan(samp, None, jax.random.split(key_outer, it))
         idx = jnp.swapaxes(idx_scan, 0, 1)  # (B, it, S)
+        if remap is not None:
+            idx = jnp.take_along_axis(remap, idx.reshape(B, it * S), axis=1).reshape(B, it, S)
         ridx = None
 
     idx0 = idx // N1
