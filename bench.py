@@ -42,6 +42,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mickey_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mickey_tpu.config import default_config
     from mickey_tpu.nn.extractor import compute_correspondences, model_init
     from mickey_tpu.solver.procrustes_ransac import estimate_pose_from_cfg
@@ -57,10 +61,16 @@ def main():
     K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1
     K = jnp.asarray(K)
 
+    # trunk and solver as separate XLA programs (the fused graph explodes
+    # remote-compile; see models/relative_pose.py note)
     @jax.jit
-    def one_pass(im0, im1, key, eps):
+    def trunk(im0, im1, eps):
         corr, _ = compute_correspondences(params, im0 + eps, im1, cfg, train=False)
-        est = estimate_pose_from_cfg(key, corr, K, K, cfg)
+        return corr
+
+    def one_pass(im0, im1, key, eps):
+        corr = trunk(im0, im1, eps)
+        est = estimate_pose_from_cfg(key, corr, K, K, cfg)  # jitted internally
         return jnp.sum(est.confidence)
 
     key = jax.random.PRNGKey(0)

@@ -25,7 +25,7 @@ def run_demo_inference(args):
     import jax.numpy as jnp
 
     from ..config import default_config
-    from ..data.io import correct_intrinsic_scale, pad_to_multiple, read_color_image
+    from ..data.io import pad_to_multiple, read_color_image
     from ..geometry import mat2quat
     from ..models import build_model
     from ..utils.viz import colorize_depth, prepare_score_map

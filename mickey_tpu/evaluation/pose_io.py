@@ -13,7 +13,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..geometry.rotations import qinverse, qmult, quat2mat, rotate_vector
+from ..geometry.rotations import qinverse, qmult, rotate_vector
 
 VARIANTS_ANGLE_SIN = "sin"
 VARIANTS_ANGLE_COS = "cos"

@@ -7,7 +7,7 @@ vcre_torch, error_auc, A_metrics) — batched, jittable.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

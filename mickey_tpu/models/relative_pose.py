@@ -54,11 +54,24 @@ class MickeyRelativePose:
         return self._apply(self.params, image0, image1, K0, K1, key, lite=lite)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg_id", "lite"))
-def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
+# NOTE: trunk and solver are compiled as SEPARATE XLA programs. Fusing the
+# ViT-L trunk with the RANSAC solver (whose sampling stage contains
+# approx_max_k over the 3.7M-entry match matrix) blows up XLA compile time
+# past the remote-compile service's limits; split, each compiles quickly and
+# the extra dispatch is negligible (the match matrix lives in HBM either way).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_id",))
+def _trunk_jit(params, image0, image1, cfg_id):
     cfg = _CFG_REGISTRY[cfg_id]
     corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
-    est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
+    return corr
+
+
+def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
+    cfg = _CFG_REGISTRY[cfg_id]
+    corr = _trunk_jit(params, image0, image1, cfg_id)
+    est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)  # jitted internally
     if lite:
         return RelativePoseOutput(
             R=est.R, t=est.t, inliers=est.confidence, valid=est.valid, estimate=None, corr=None

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..evaluation.pose_io import precision_recall
-from ..parallel import batch_sharding, get_mesh, pad_batch, replicate, replicated
+from ..parallel import batch_sharding, get_mesh, pad_batch, replicate
 from ..training.checkpoint import restore_checkpoint, save_checkpoint
 from ..training.train_step import init_train_state, make_train_step, make_val_step
 from ..nn.extractor import model_init

@@ -16,8 +16,6 @@ proposal sampling — documented deviation).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ the batch is worth sharding; see SURVEY.md §2 parallelism inventory.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

@@ -28,7 +28,6 @@ identical samples (tests/test_parity_loss.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ distribution with lower variance).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,22 +64,8 @@ def init_train_state(cfg, params: Params) -> Tuple[TrainState, Params]:
     return TrainState(trainable, opt.init(trainable), jnp.asarray(0, jnp.int32)), backbone
 
 
-def _bn_stat_paths(tree, prefix=()):
-    """Yield key-paths of BN running-stat leaves ('mean'/'var' under a dict
-    that also has 'scale')."""
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            if "mean" in v and "var" in v and "scale" in v:
-                yield prefix + (k,)
-            else:
-                yield from _bn_stat_paths(v, prefix + (k,))
-
-
 def _copy_bn_stats(dst: Params, src: Params) -> Params:
     """Overwrite BN running stats in dst with those from src (forward-updated)."""
-    import copy
-
-    dst = jax.tree_util.tree_map(lambda x: x, dst)  # shallow-ish copy of structure
 
     def rec(d, s):
         out = {}

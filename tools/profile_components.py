@@ -48,6 +48,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mickey_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mickey_tpu.config import default_config
     from mickey_tpu.nn.dinov2 import vit_features_chw
     from mickey_tpu.nn.extractor import compute_correspondences, extract_features, model_init
