@@ -54,23 +54,64 @@ class MickeyRelativePose:
         return self._apply(self.params, image0, image1, K0, K1, key, lite=lite)
 
 
-# NOTE: trunk and solver are compiled as SEPARATE XLA programs. Fusing the
-# ViT-L trunk with the RANSAC solver (whose sampling stage contains
-# approx_max_k over the 3.7M-entry match matrix) blows up XLA compile time
-# past the remote-compile service's limits; split, each compiles quickly and
-# the extra dispatch is negligible (the match matrix lives in HBM either way).
+# NOTE: inference runs as a PIPELINE of separately-compiled XLA programs
+# (backbone -> heads -> matcher -> solver) rather than one fused graph. The
+# fused program's compile time exceeds the remote-compile service's limits
+# (and its request pipe breaks on multi-minute compiles); staged programs
+# each compile quickly, land in the persistent compilation cache
+# independently, and cost only a few extra dispatches (all inter-stage
+# tensors live in HBM either way).
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_id",))
-def _trunk_jit(params, image0, image1, cfg_id):
+def _backbone_jit(params, images, cfg_id):
+    from ..nn.extractor import backbone_features
+
+    return backbone_features(params, images, _CFG_REGISTRY[cfg_id])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_id",))
+def _heads_jit(params, fmap, cfg_id):
+    from ..nn.extractor import heads_apply
+
+    (kpts, depths, scores, descs), _ = heads_apply(params, fmap, _CFG_REGISTRY[cfg_id], train=False)
+    return kpts, depths, scores, descs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_id",))
+def _match_jit(params, kpts, depths, scores, descs, cfg_id):
+    import jax.numpy as jnp
+
+    from ..nn.extractor import Correspondences, _flatten_maps, absolute_kpt_coordinates
+    from ..nn.matcher import match_scores
+
     cfg = _CFG_REGISTRY[cfg_id]
-    corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
-    return corr
+    b = kpts.shape[0] // 2
+    kpts = absolute_kpt_coordinates(kpts, cfg.MICKEY.DINOV2.DOWN_FACTOR)
+    (k0, k1), (d0, d1), (s0, s1), (c0, c1) = ((t[:b], t[b:]) for t in (kpts, depths, scores, descs))
+    kps0, depth0, scr0, dsc0 = _flatten_maps(k0, d0, s0, c0)
+    kps1, depth1, scr1, dsc1 = _flatten_maps(k1, d1, s1, c1)
+    match = match_scores(params["matcher"], dsc0, dsc1, cfg)
+    kp_scores = jnp.einsum("bni,bmi->bnm", scr0, scr1, precision=jax.lax.Precision.HIGHEST)
+    return Correspondences(
+        kps0=kps0, depth0=depth0, scr0=scr0, dsc0=dsc0,
+        kps1=kps1, depth1=depth1, scr1=scr1, dsc1=dsc1,
+        scores=match, kp_scores=kp_scores, depth_map0=d0, depth_map1=d1,
+    )
+
+
+def _staged_correspondences(params, image0, image1, cfg_id):
+    import jax.numpy as jnp
+
+    stacked = jnp.concatenate([image0, image1], axis=0)
+    fmap = _backbone_jit(params, stacked, cfg_id)
+    kpts, depths, scores, descs = _heads_jit(params, fmap, cfg_id)
+    return _match_jit(params, kpts, depths, scores, descs, cfg_id)
 
 
 def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
     cfg = _CFG_REGISTRY[cfg_id]
-    corr = _trunk_jit(params, image0, image1, cfg_id)
+    corr = _staged_correspondences(params, image0, image1, cfg_id)
     est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)  # jitted internally
     if lite:
         return RelativePoseOutput(

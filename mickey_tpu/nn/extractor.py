@@ -50,6 +50,35 @@ def model_init(key: jax.Array, cfg, include_backbone: bool = True) -> Params:
     return p
 
 
+def backbone_features(params: Params, images: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Frozen DINOv2 feature map (B, H/df, W/df, C), fp32, stop-gradient."""
+    mk = cfg.MICKEY
+    df = mk.DINOV2.DOWN_FACTOR
+    b, h, w, _ = images.shape
+    assert h % df == 0 and w % df == 0, f"image size {(h, w)} not divisible by {df}"
+    variant = mk.DINOV2.get("VARIANT", "vit_large")
+    return vit_features_chw(
+        params["dinov2"],
+        images,
+        cfg_dtype=("bfloat16" if mk.DINOV2.FLOAT16 else "float32"),
+        use_pallas=cfg.TPU.USE_PALLAS_ATTENTION and jax.default_backend() != "cpu",
+        num_heads=VIT_CONFIGS[variant]["num_heads"],
+        patch_size=df,
+    )
+
+
+def heads_apply(
+    params: Params, fmap: jnp.ndarray, cfg, train: bool = False, axis_name=None
+) -> Tuple[Tuple[jnp.ndarray, ...], Params]:
+    """The four keypoint heads on a backbone feature map."""
+    new_params = dict(params)
+    scores, new_params["det_head"] = det_head_apply(params["det_head"], fmap, cfg, train, axis_name)
+    kpts, new_params["det_offset"] = offset_head_apply(params["det_offset"], fmap, cfg, train, axis_name)
+    depths, new_params["depth_head"] = depth_head_apply(params["depth_head"], fmap, cfg, train, axis_name)
+    descs, new_params["dsc_head"] = desc_head_apply(params["dsc_head"], fmap, cfg, train, axis_name)
+    return (kpts, depths, scores, descs), new_params
+
+
 def extract_features(
     params: Params, images: jnp.ndarray, cfg, train: bool = False, axis_name=None
 ) -> Tuple[Tuple[jnp.ndarray, ...], Params]:
@@ -60,27 +89,8 @@ def extract_features(
     multiples of 14 at runtime (mickey_extractor.py:46); we require it
     statically (XLA static shapes) — the data pipeline guarantees it.
     """
-    mk = cfg.MICKEY
-    df = mk.DINOV2.DOWN_FACTOR
-    b, h, w, _ = images.shape
-    assert h % df == 0 and w % df == 0, f"image size {(h, w)} not divisible by {df}"
-
-    variant = mk.DINOV2.get("VARIANT", "vit_large")
-    fmap = vit_features_chw(
-        params["dinov2"],
-        images,
-        cfg_dtype=("bfloat16" if mk.DINOV2.FLOAT16 else "float32"),
-        use_pallas=cfg.TPU.USE_PALLAS_ATTENTION and jax.default_backend() != "cpu",
-        num_heads=VIT_CONFIGS[variant]["num_heads"],
-        patch_size=df,
-    )
-
-    new_params = dict(params)
-    scores, new_params["det_head"] = det_head_apply(params["det_head"], fmap, cfg, train, axis_name)
-    kpts, new_params["det_offset"] = offset_head_apply(params["det_offset"], fmap, cfg, train, axis_name)
-    depths, new_params["depth_head"] = depth_head_apply(params["depth_head"], fmap, cfg, train, axis_name)
-    descs, new_params["dsc_head"] = desc_head_apply(params["dsc_head"], fmap, cfg, train, axis_name)
-    return (kpts, depths, scores, descs), new_params
+    fmap = backbone_features(params, images, cfg)
+    return heads_apply(params, fmap, cfg, train=train, axis_name=axis_name)
 
 
 def absolute_kpt_coordinates(kpts: jnp.ndarray, down_factor: int) -> jnp.ndarray:
