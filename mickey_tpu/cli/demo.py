@@ -95,6 +95,23 @@ def run_demo_inference(args):
             _path(args.im_path_ref, "matches"), (255 * canvas[:, :, ::-1]).astype(np.uint8)
         )
         print(f"Saved {len(matches)} mutual-NN matches visualization.")
+
+    if args.generate_3D_vis:
+        from ..solver.procrustes_ransac import extract_inliers
+        from ..utils.viz3d import create_point_cloud_from_inliers, get_render
+
+        print("Generating 3D visualization image...")
+        inliers = extract_inliers(out.estimate, 0)
+        pts, colors = create_point_cloud_from_inliers(inliers, K0[0])
+        P = np.eye(4)
+        P[:3, :3], P[:3, 3] = R, t
+        frame = get_render(
+            P, K0[0], K1[0], (im0.shape[1], im0.shape[0]), pts, colors,
+            confidence=conf, max_confidence=cfg.PROCRUSTES.NUM_SAMPLED_MATCHES,
+        )
+        vis_path = _path(args.im_path_ref, "3d_vis")
+        cv2.imwrite(vis_path, frame[:, :, ::-1])
+        print(f"Saved {vis_path}")
     print("Done.")
     return out
 
@@ -110,6 +127,8 @@ def main():
     parser.add_argument("--dinov2", default=None, help="path to dinov2_vitl14_pretrain.pth")
     parser.add_argument("--out_dir", default="", help="directory for output maps (default: next to inputs)")
     parser.add_argument("--save_matches", action="store_true", help="also save a match visualization")
+    parser.add_argument("--generate_3D_vis", action="store_true",
+                        help="render cameras + inlier point cloud to 3d_vis image")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     run_demo_inference(args)

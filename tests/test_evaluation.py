@@ -152,3 +152,25 @@ class TestJnpMetrics:
         errors = np.array([0.0, 1.0, 2.0, 100.0])
         aucs = error_auc(errors, (2.0,))
         assert 0 < aucs["auc@2.0"] < 1
+
+
+class TestViz3D:
+    def test_render_cameras_and_points(self, rng):
+        from mickey_tpu.utils.viz3d import create_point_cloud_from_inliers, get_render
+
+        K = make_K().astype(np.float32)
+        inliers = np.concatenate(
+            [
+                rng.uniform(0, 500, (20, 4)),  # x0 y0 x1 y1
+                rng.uniform(0, 1, (20, 1)),  # score
+                rng.uniform(1, 5, (20, 2)),  # d0 d1
+            ],
+            axis=1,
+        ).astype(np.float32)
+        pts, colors = create_point_cloud_from_inliers(inliers, K)
+        assert pts.shape == (20, 3) and colors.shape == (20, 3)
+        P = np.eye(4)
+        P[:3, 3] = [0.5, 0, 0.2]
+        frame = get_render(P, K, K, (540, 720), pts, colors, confidence=800.0)
+        assert frame.ndim == 3 and frame.shape[2] == 3 and frame.dtype == np.uint8
+        assert frame.std() > 0  # actually drew something

@@ -22,7 +22,15 @@ def timeit(name, fn, n_iters, results):
     import jax
 
     key = jax.random.PRNGKey(0)
-    v = float(fn(key, 0))  # compile + warmup
+    for attempt in range(5):  # remote-compile service drops long requests
+        try:
+            v = float(fn(key, 0))  # compile + warmup
+            break
+        except Exception as e:
+            if attempt == 4:
+                raise
+            print(f"# {name} warmup attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(10)
     t0 = time.perf_counter()
     for i in range(n_iters):
         v = float(fn(jax.random.fold_in(key, i), i + 1))
