@@ -68,8 +68,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     seq_len: int,
-    block_q: int = 512,
-    block_k: int = 2048,
+    block_q: int = 256,
+    block_k: int = 512,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention: softmax(q k^T / sqrt(D)) v.
 
@@ -115,8 +115,13 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seq_len:
 
 
 def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True):
-    """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere."""
+    """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere.
+
+    NOTE: bq512/bk2048 measures ~1.7x faster standalone (BENCHLOG.md), but
+    the backbone program containing it exceeds this environment's flaky
+    remote-compile limits; the proven bq256/bk512 stays the default for
+    compile reliability.
+    """
     if use_pallas and q.shape[2] % 512 == 0:
-        s = q.shape[2]
-        return flash_attention(q, k, v, seq_len, block_q=512, block_k=min(s, 2048))
+        return flash_attention(q, k, v, seq_len, block_q=256, block_k=512)
     return attention_reference(q, k, v, seq_len)
