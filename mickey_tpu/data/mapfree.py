@@ -1,10 +1,14 @@
 """Map-free relocalization dataset (host-side, numpy).
 
-Counterpart of reference ``lib/datasets/mapfree.py``: per-scene pose /
-intrinsics / overlap parsing, train-pair filtering by overlap range, relative
-pose construction via quaternion algebra, val/test x5 query subsampling.
+Design: all per-pair metadata — relative poses, camera centers, rescaled
+intrinsics — is precomputed in one batched numpy pass when a scene is opened
+(matrix algebra over whole frame tables); ``__getitem__`` only decodes the
+two images and slices precomputed arrays. This keeps the per-sample work in
+the prefetching loader down to JPEG IO. Behavior spec (pair construction,
+overlap filtering, x5 query subsampling, zeroed test poses, sample dict
+keys): reference ``lib/datasets/mapfree.py``.
 
-Layout (per scene directory):
+Scene layout:
     poses.txt        imgpath qw qx qy qz tx ty tz   (world->cam)
     intrinsics.txt   imgpath fx fy cx cy W H
     overlaps.npz     idxs (N, 4) uint16, overlaps (N,)   [train scenes]
@@ -18,11 +22,46 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..geometry.rotations import qinverse, qmult, quat2mat, rotate_vector
+from ..geometry.rotations import quats_to_mats
 from .io import correct_intrinsic_scale, read_color_image
 
 
+def _parse_table(path: Path) -> Tuple[List[str], np.ndarray]:
+    """Whitespace table file -> (image names, float value matrix)."""
+    names, rows = [], []
+    with Path(path).open("r") as f:
+        for line in f:
+            line = line.strip()
+            if not line or "#" in line:
+                continue
+            parts = line.split(" ")
+            names.append(parts[0])
+            rows.append(np.array(parts[1:], dtype=np.float64))
+    return names, (np.stack(rows) if rows else np.zeros((0, 0)))
+
+
+def _pairs_from_overlaps(path: Path, limits: Optional[Tuple[float, float]]) -> np.ndarray:
+    """Train pairs: (seqA, imA, seqB, imB) rows filtered by overlap range."""
+    with np.load(path, allow_pickle=True) as f:
+        idxs, overlaps = f["idxs"], f["overlaps"]
+    if limits is None:
+        return idxs.copy()
+    lo, hi = limits
+    return idxs[(overlaps > lo) & (overlaps < hi)].copy()
+
+
+def _query_pairs(names: List[str], sample_factor: int) -> np.ndarray:
+    """Val/test pairs: the seq0 keyframe vs every sample_factor-th query."""
+    query_frames = [int(n[-9:-4]) for n in names if "seq0" not in n]
+    pairs = np.zeros((len(query_frames), 4), dtype=np.uint16)
+    pairs[:, 2] = 1
+    pairs[:, 3] = np.asarray(query_frames, dtype=np.uint16)
+    return pairs[::sample_factor]
+
+
 class MapFreeScene:
+    """One scene directory, fully indexed at construction time."""
+
     def __init__(
         self,
         scene_root,
@@ -38,105 +77,104 @@ class MapFreeScene:
         self.transforms = transforms
         self.test_scene = test_scene
 
-        self.poses = self.read_poses(self.scene_root)
-        self.K, self.K_ori = self.read_intrinsics(self.scene_root, resize)
-        self.pairs = self.load_pairs(self.scene_root, overlap_limits, sample_factor)
-
-    @staticmethod
-    def read_intrinsics(scene_root: Path, resize=None):
-        Ks, K_ori = {}, {}
-        with (scene_root / "intrinsics.txt").open("r") as f:
-            for line in f.readlines():
-                if "#" in line:
-                    continue
-                parts = line.strip().split(" ")
-                img_name = parts[0]
-                fx, fy, cx, cy, W, H = map(float, parts[1:])
-                K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
-                K_ori[img_name] = K
-                if resize is not None:
-                    K = correct_intrinsic_scale(K, resize[0] / W, resize[1] / H)
-                Ks[img_name] = K
-        return Ks, K_ori
-
-    @staticmethod
-    def read_poses(scene_root: Path):
-        poses = {}
-        with (scene_root / "poses.txt").open("r") as f:
-            for line in f.readlines():
-                if "#" in line:
-                    continue
-                parts = line.strip().split(" ")
-                qt = np.array(list(map(float, parts[1:])))
-                poses[parts[0]] = (qt[:4], qt[4:])
-        return poses
-
-    def load_pairs(self, scene_root: Path, overlap_limits=None, sample_factor: int = 1):
-        """Train: overlap-filtered (seqA,imA,seqB,imB) rows from overlaps.npz.
-        Val/test: keyframe paired with every sample_factor-th query frame
-        (reference mapfree.py:74-103)."""
-        overlaps_path = scene_root / "overlaps.npz"
+        overlaps_path = self.scene_root / "overlaps.npz"
+        pose_names, pose_vals = _parse_table(self.scene_root / "poses.txt")
         if overlaps_path.exists():
-            f = np.load(overlaps_path, allow_pickle=True)
-            idxs, overlaps = f["idxs"], f["overlaps"]
-            if overlap_limits is not None:
-                min_overlap, max_overlap = overlap_limits
-                mask = (overlaps > min_overlap) * (overlaps < max_overlap)
-                idxs = idxs[mask]
-                return idxs.copy()
-            return idxs.copy()
-        idxs = np.zeros((len(self.poses) - 1, 4), dtype=np.uint16)
-        idxs[:, 2] = 1
-        idxs[:, 3] = np.array(
-            [int(fn[-9:-4]) for fn in self.poses.keys() if "seq0" not in fn], dtype=np.uint16
-        )
-        return idxs[::sample_factor]
-
-    def get_pair_path(self, pair):
-        seqA, imgA, seqB, imgB = pair
-        return (f"seq{seqA}/frame_{imgA:05}.jpg", f"seq{seqB}/frame_{imgB:05}.jpg")
-
-    def __len__(self):
-        return len(self.pairs)
-
-    def __getitem__(self, index) -> Dict:
-        im1_path, im2_path = self.get_pair_path(self.pairs[index])
-
-        image1 = read_color_image(self.scene_root / im1_path, self.resize, augment_fn=self.transforms)
-        image2 = read_color_image(self.scene_root / im2_path, self.resize, augment_fn=self.transforms)
-
-        if self.test_scene:
-            q1 = q2 = np.zeros(4)
-            c1 = c2 = np.zeros(3)
-            T = np.zeros((4, 4), dtype=np.float32)
+            pairs = _pairs_from_overlaps(overlaps_path, overlap_limits)
         else:
-            q1, t1 = self.poses[im1_path]
-            q2, t2 = self.poses[im2_path]
-            c1 = rotate_vector(-t1, qinverse(q1))
-            c2 = rotate_vector(-t2, qinverse(q2))
-            q12 = qmult(q2, qinverse(q1))
-            t12 = t2 - rotate_vector(t1, q12)
-            T = np.eye(4, dtype=np.float32)
-            T[:3, :3] = quat2mat(q12)
-            T[:3, -1] = t12
+            pairs = _query_pairs(pose_names, sample_factor)
+        self._n_pairs = len(pairs)
+        self._index_pairs(pairs, pose_names, pose_vals)
 
+    # -- batched metadata precompute ------------------------------------------
+
+    def _image_path(self, seq: int, frame: int) -> str:
+        return f"seq{seq}/frame_{frame:05}.jpg"
+
+    def _index_pairs(self, pairs: np.ndarray, pose_names, pose_vals) -> None:
+        """Resolve every pair's paths, intrinsics, and relative pose at once."""
+        intr_names, intr_vals = _parse_table(self.scene_root / "intrinsics.txt")
+        intr_row = {n: i for i, n in enumerate(intr_names)}
+        pose_row = {n: i for i, n in enumerate(pose_names)}
+
+        self.paths0 = [self._image_path(s, f) for s, f in pairs[:, 0:2]]
+        self.paths1 = [self._image_path(s, f) for s, f in pairs[:, 2:4]]
+
+        # intrinsics: original + rescaled to the working resolution
+        fxfycxcy = intr_vals[:, :4]
+        WH = intr_vals[:, 4:6]
+        n_frames = len(intr_names)
+        K_ori = np.zeros((n_frames, 3, 3), dtype=np.float32)
+        K_ori[:, 0, 0], K_ori[:, 1, 1] = fxfycxcy[:, 0], fxfycxcy[:, 1]
+        K_ori[:, 0, 2], K_ori[:, 1, 2] = fxfycxcy[:, 2], fxfycxcy[:, 3]
+        K_ori[:, 2, 2] = 1.0
+        K = np.stack(
+            [
+                correct_intrinsic_scale(k, self.resize[0] / w, self.resize[1] / h)
+                for k, (w, h) in zip(K_ori, WH)
+            ]
+        ).astype(np.float32)
+
+        rows0 = np.array([intr_row[p] for p in self.paths0], dtype=np.int64)
+        rows1 = np.array([intr_row[p] for p in self.paths1], dtype=np.int64)
+        self.K0, self.K1 = K[rows0], K[rows1]
+        self.K0_ori, self.K1_ori = K_ori[rows0], K_ori[rows1]
+
+        P = len(pairs)
+        if self.test_scene:
+            # test scenes ship no GT: zero poses, zero (non-identity) transform
+            self.q0 = self.q1 = np.zeros((P, 4))
+            self.c0 = self.c1 = np.zeros((P, 3))
+            self.T_0to1 = np.zeros((P, 4, 4), dtype=np.float32)
+            return
+
+        # world->cam quaternions/translations for both frames of every pair
+        q_all, t_all = pose_vals[:, :4], pose_vals[:, 4:7]
+        p0 = np.array([pose_row[p] for p in self.paths0], dtype=np.int64)
+        p1 = np.array([pose_row[p] for p in self.paths1], dtype=np.int64)
+        R_all = quats_to_mats(q_all)
+        centers = -np.einsum("nji,nj->ni", R_all, t_all)  # cam centers, world
+
+        self.q0, self.q1 = q_all[p0], q_all[p1]
+        self.c0, self.c1 = centers[p0], centers[p1]
+
+        # relative pose T_0to1 = T1_w2c @ inv(T0_w2c), batched matrix algebra
+        R0, R1 = R_all[p0], R_all[p1]
+        R01 = np.einsum("nij,nkj->nik", R1, R0)  # R1 @ R0^T
+        t01 = t_all[p1] - np.einsum("nij,nj->ni", R01, t_all[p0])
+        T = np.broadcast_to(np.eye(4), (P, 4, 4)).copy()
+        T[:, :3, :3] = R01
+        T[:, :3, 3] = t01
+        self.T_0to1 = T.astype(np.float32)
+
+    # -- sample access ---------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._n_pairs
+
+    def __getitem__(self, index: int) -> Dict:
+        path0, path1 = self.paths0[index], self.paths1[index]
         return {
-            "image0": image1,  # (H, W, 3) float32
-            "image1": image2,
-            "T_0to1": T,
-            "abs_q_0": q1,
-            "abs_c_0": c1,
-            "abs_q_1": q2,
-            "abs_c_1": c2,
-            "K_color0": self.K[im1_path],
-            "Kori_color0": self.K_ori[im1_path],
-            "K_color1": self.K[im2_path],
-            "Kori_color1": self.K_ori[im2_path],
+            "image0": read_color_image(
+                self.scene_root / path0, self.resize, augment_fn=self.transforms
+            ),  # (H, W, 3) float32
+            "image1": read_color_image(
+                self.scene_root / path1, self.resize, augment_fn=self.transforms
+            ),
+            "T_0to1": self.T_0to1[index],
+            "abs_q_0": self.q0[index],
+            "abs_c_0": self.c0[index],
+            "abs_q_1": self.q1[index],
+            "abs_c_1": self.c1[index],
+            "K_color0": self.K0[index],
+            "Kori_color0": self.K0_ori[index],
+            "K_color1": self.K1[index],
+            "Kori_color1": self.K1_ori[index],
             "dataset_name": "Mapfree",
             "scene_id": self.scene_root.stem,
             "scene_root": str(self.scene_root),
             "pair_id": index * self.sample_factor,
-            "pair_names": (im1_path, im2_path),
+            "pair_names": (path0, path1),
         }
 
 

@@ -1,9 +1,10 @@
-"""Scene-balanced sampler (counterpart of lib/datasets/sampler.py).
+"""Scene-balanced index sampler for ConcatDataset-style datasets.
 
-Per epoch, draws ``n_samples_per_subset`` indices from each scene of a
-ConcatDataset (with/without replacement), shuffles globally. Seeded with a
-persistent numpy Generator so successive epochs differ unless
-``reset_on_iter`` (deterministic validation).
+Each epoch draws ``n_samples_per_subset`` indices from every scene (with or
+without replacement), shuffles globally, and optionally repeats the epoch
+stream. A persistent numpy Generator makes successive epochs differ unless
+``reset_on_iter`` (deterministic validation). Behavior spec: reference
+``lib/datasets/sampler.py:6-86`` (itself adapted from LoFTR).
 
 For multi-host data parallelism, pass (shard_id, num_shards) to slice the
 per-epoch index stream contiguously per host — the jax.sharding analog of
@@ -29,10 +30,10 @@ class RandomConcatSampler:
         reset_on_iter: bool = False,
         shard: Optional[Tuple[int, int]] = None,
     ):
+        assert repeat >= 1
         self.data_source = data_source
-        self.n_subset = len(data_source.datasets)
         self.n_samples_per_subset = n_samples_per_subset
-        self.n_samples = self.n_subset * n_samples_per_subset * repeat
+        self.n_samples = len(data_source.datasets) * n_samples_per_subset * repeat
         self.subset_replacement = subset_replacement
         self.repeat = repeat
         self.shuffle = shuffle
@@ -40,45 +41,47 @@ class RandomConcatSampler:
         self.reset_on_iter = reset_on_iter
         self.shard = shard
         self.generator = np.random.default_rng(seed)
-        assert repeat >= 1
 
     def __len__(self) -> int:
-        n = self.n_samples
-        if self.shard:
-            n = n // self.shard[1]
-        return n
+        return self.n_samples // self.shard[1] if self.shard else self.n_samples
+
+    def _subset_windows(self):
+        """(lo, hi) global-index window of each scene in the concat dataset."""
+        bounds = [0, *self.data_source.cumulative_sizes]
+        return zip(bounds[:-1], bounds[1:])
+
+    def _draw_subset(self, g: np.random.Generator, lo: int, hi: int) -> np.ndarray:
+        """n_samples_per_subset indices from [lo, hi)."""
+        n = self.n_samples_per_subset
+        if self.subset_replacement:
+            return g.integers(lo, hi, size=n)
+        drawn = g.permutation(hi - lo)[:n] + lo
+        if drawn.size < n:  # small scene: top up with replacement
+            drawn = np.concatenate([drawn, g.integers(lo, hi, size=n - drawn.size)])
+        return drawn
 
     def __iter__(self) -> Iterator[int]:
         if self.reset_on_iter:
             self.generator = np.random.default_rng(self.seed)
         g = self.generator
 
-        indices = []
-        for d_idx in range(self.n_subset):
-            low = 0 if d_idx == 0 else self.data_source.cumulative_sizes[d_idx - 1]
-            high = self.data_source.cumulative_sizes[d_idx]
-            if self.subset_replacement:
-                rand = g.integers(low, high, size=self.n_samples_per_subset)
-            else:
-                len_subset = len(self.data_source.datasets[d_idx])
-                rand = g.permutation(len_subset) + low
-                if len_subset >= self.n_samples_per_subset:
-                    rand = rand[: self.n_samples_per_subset]
-                else:
-                    pad = g.integers(low, high, size=self.n_samples_per_subset - len_subset)
-                    rand = np.concatenate([rand, pad])
-            indices.append(rand)
-        indices = np.concatenate(indices)
+        epoch = np.concatenate(
+            [self._draw_subset(g, lo, hi) for lo, hi in self._subset_windows()]
+        )
         if self.shuffle:
-            indices = indices[g.permutation(len(indices))]
-        if self.repeat > 1:
-            reps = [indices.copy() for _ in range(self.repeat - 1)]
+            epoch = epoch[g.permutation(epoch.size)]
+
+        streams = [epoch]
+        for _ in range(self.repeat - 1):
+            rep = epoch.copy()
             if self.shuffle:
-                reps = [r[g.permutation(len(r))] for r in reps]
-            indices = np.concatenate([indices, *reps])
+                rep = rep[g.permutation(rep.size)]
+            streams.append(rep)
+        indices = np.concatenate(streams)
         assert indices.shape[0] == self.n_samples
+
         if self.shard:
-            sid, nsh = self.shard
-            per = self.n_samples // nsh
-            indices = indices[sid * per : (sid + 1) * per]
+            shard_id, num_shards = self.shard
+            per_shard = self.n_samples // num_shards
+            indices = indices[shard_id * per_shard : (shard_id + 1) * per_shard]
         return iter(indices.tolist())

@@ -1,32 +1,37 @@
-from .mapfree import aggregate_results, compute_scene_metrics, evaluate
-from .metrics import Inputs, MetricManager
+from .mapfree import SceneScore, evaluate, score_scene, summarize
+from .metrics import METRIC_NAMES, score_frames
 from .pose_io import (
     VARIANTS_ANGLE_COS,
     VARIANTS_ANGLE_SIN,
-    convert_world2cam_to_cam2world,
-    load_K,
-    load_poses,
+    PoseTable,
+    parse_pose_table,
     precision_recall,
     quat_angle_error,
-    subsample_poses,
+    read_intrinsics_table,
 )
-from .reprojection import get_grid_multipleheight, project, reprojection_error
+from .reprojection import (
+    get_grid_multipleheight,
+    project,
+    reprojection_error,
+    reprojection_errors,
+)
 
 __all__ = [
-    "aggregate_results",
-    "compute_scene_metrics",
+    "SceneScore",
     "evaluate",
-    "Inputs",
-    "MetricManager",
+    "score_scene",
+    "summarize",
+    "METRIC_NAMES",
+    "score_frames",
     "VARIANTS_ANGLE_COS",
     "VARIANTS_ANGLE_SIN",
-    "convert_world2cam_to_cam2world",
-    "load_K",
-    "load_poses",
+    "PoseTable",
+    "parse_pose_table",
     "precision_recall",
     "quat_angle_error",
-    "subsample_poses",
+    "read_intrinsics_table",
     "get_grid_multipleheight",
     "project",
     "reprojection_error",
+    "reprojection_errors",
 ]

@@ -1,9 +1,13 @@
-"""Offline Map-free benchmark evaluator (pure numpy).
+"""Offline Map-free benchmark evaluator (vectorized numpy).
 
-Counterpart of reference ``benchmark/mapfree.py``: evaluates a
-submission.zip of per-scene pose files against ground truth, reporting
-Average Median Translation/Rotation/Reprojection Error, Precision & AUC at
-pose error < (25cm, 5deg) and VCRE < 90px, and estimate coverage.
+Scores a submission.zip of per-scene pose files against ground truth and
+reports the official protocol numbers: Average Median Translation/Rotation/
+Reprojection Error, Precision & AUC at pose error < (25cm, 5deg) and at
+VCRE < 90px, and estimate coverage. Protocol spec (output keys, thresholds,
+x5 query subsampling, confidence-ranked AP): reference
+``benchmark/mapfree.py`` + ``benchmark/config.py``. The implementation here
+scores whole scenes as aligned arrays (see ``metrics.score_frames``) instead
+of the reference's per-frame loop.
 
 Run: ``python -m mickey_tpu.evaluation.mapfree --submission_path ... \
        --dataset_path ... --split val``
@@ -14,78 +18,90 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-from collections import defaultdict
+from dataclasses import dataclass
 from io import TextIOWrapper
 from pathlib import Path
+from typing import Dict, List
 from zipfile import ZipFile
 
 import numpy as np
 
-from .metrics import Inputs, MetricManager
-from .pose_io import load_K, load_poses, precision_recall, subsample_poses
+from .metrics import METRIC_NAMES, score_frames
+from .pose_io import parse_pose_table, precision_recall, read_intrinsics_table
 
 # acceptance thresholds (reference benchmark/config.py)
 t_threshold = 0.25  # meters
 R_threshold = 5  # degrees
 vcre_threshold = 90  # pixels
 
+QUERY_SUBSAMPLE = 5  # val/test queries are scored every 5th frame
 
-def compute_scene_metrics(dataset_path: Path, submission_zip: ZipFile, scene: str):
-    metric_manager = MetricManager()
 
-    K, W, H = load_K(dataset_path / scene / "intrinsics.txt")
+@dataclass
+class SceneScore:
+    """Per-frame metric arrays for one scene + count of missing estimates."""
+
+    metrics: Dict[str, np.ndarray]  # {metric: (N,)}; empty arrays if no file
+    n_missing: int
+
+    @property
+    def n_scored(self) -> int:
+        return len(self.metrics["trans_err"]) if self.metrics else 0
+
+
+def score_scene(dataset_path: Path, submission_zip: ZipFile, scene: str) -> SceneScore:
+    """Align a scene's estimates with ground truth and score all frames."""
+    frames_K, K_all, W, H = read_intrinsics_table(dataset_path / scene / "intrinsics.txt")
     with (dataset_path / scene / "poses.txt").open("r", encoding="utf-8") as f:
-        gt_poses = load_poses(f, load_confidence=False)
+        gt = parse_pose_table(f, with_confidence=False)
 
     try:
-        with submission_zip.open(f"pose_{scene}.txt") as est_file:
-            estimated_poses = load_poses(TextIOWrapper(est_file, encoding="utf-8"), load_confidence=True)
+        with submission_zip.open(f"pose_{scene}.txt") as f:
+            est = parse_pose_table(TextIOWrapper(f, encoding="utf-8"), with_confidence=True)
     except KeyError:
-        logging.warning(f"Submission does not have estimates for scene {scene}.")
-        return dict(), len(gt_poses)
+        logging.warning("submission has no estimates for scene %s", scene)
+        # a fully missing scene counts every GT frame as a failure
+        # (pre-subsampling, matching the reference's early return)
+        return SceneScore({}, len(gt))
 
-    # val/test query frames are subsampled x5 (reference mapfree.py:59)
-    gt_poses = subsample_poses(gt_poses, subsample=5)
+    gt = gt.take(np.arange(0, len(gt), QUERY_SUBSAMPLE))
 
-    failures = 0
-    results = defaultdict(list)
-    for frame_num, (q_gt, t_gt, _) in gt_poses.items():
-        if frame_num not in estimated_poses:
-            failures += 1
-            continue
-        q_est, t_est, confidence = estimated_poses[frame_num]
-        inputs = Inputs(
-            q_gt=q_gt, t_gt=t_gt, q_est=q_est, t_est=t_est,
-            confidence=confidence, K=K[frame_num], W=W, H=H,
-        )
-        metric_manager(inputs, results)
-    return results, failures
+    rows = est.positions_of(gt.frame)
+    present = rows >= 0
+    est_aligned = est.take(rows[present])
+    gt_aligned = gt.take(np.flatnonzero(present))
+
+    k_rows = np.searchsorted(frames_K, gt_aligned.frame, sorter=np.argsort(frames_K))
+    K = K_all[np.argsort(frames_K)[k_rows]]
+
+    metrics = score_frames(gt_aligned, est_aligned, K, W, H)
+    return SceneScore(metrics, int((~present).sum()))
 
 
-def aggregate_results(all_results, all_failures):
-    median_metrics = defaultdict(list)
-    all_metrics = defaultdict(list)
-    for scene_results in all_results.values():
-        for metric, values in scene_results.items():
-            median_metrics[metric].append(np.median(values))
-            all_metrics[metric].extend(values)
-    all_metrics = {k: np.array(v) for k, v in all_metrics.items()}
-    assert all(v.ndim == 1 for v in all_metrics.values()), "invalid metrics shape"
+def summarize(scores: Dict[str, SceneScore]):
+    """Aggregate per-scene scores into the official protocol numbers."""
+    scored = {name: s for name, s in scores.items() if s.n_scored > 0}
+    if not scored:
+        raise RuntimeError("Submission does not have any valid pose estimates")
 
-    avg_median_metrics = {m: np.mean(v) for m, v in median_metrics.items()}
+    flat = {
+        m: np.concatenate([s.metrics[m] for s in scored.values()]) for m in METRIC_NAMES
+    }
+    scene_medians = {
+        m: np.array([np.median(s.metrics[m]) for s in scored.values()])
+        for m in METRIC_NAMES
+    }
+    n_failures = sum(s.n_missing for s in scores.values())
+    n_total = flat["trans_err"].size + n_failures
 
-    accepted_poses = (all_metrics["trans_err"] < t_threshold) * (all_metrics["rot_err"] < R_threshold)
-    accepted_vcre = all_metrics["reproj_err"] < vcre_threshold
-    total_samples = len(next(iter(all_metrics.values()))) + all_failures
-
-    prec_pose = np.sum(accepted_poses) / total_samples
-    prec_vcre = np.sum(accepted_vcre) / total_samples
+    good_pose = (flat["trans_err"] < t_threshold) & (flat["rot_err"] < R_threshold)
+    good_vcre = flat["reproj_err"] < vcre_threshold
 
     pose_prec, pose_rec, auc_pose = precision_recall(
-        inliers=all_metrics["confidence"], tp=accepted_poses, failures=all_failures
+        inliers=flat["confidence"], tp=good_pose, failures=n_failures
     )
     vcre_prec, vcre_rec, auc_vcre = precision_recall(
-        inliers=all_metrics["confidence"], tp=accepted_vcre, failures=all_failures
+        inliers=flat["confidence"], tp=good_vcre, failures=n_failures
     )
 
     curves = {
@@ -94,33 +110,28 @@ def aggregate_results(all_results, all_failures):
         "pose_prec_values": pose_prec,
         "pose_recall_values": pose_rec,
     }
-
     out = {
-        "Average Median Translation Error": avg_median_metrics["trans_err"],
-        "Average Median Rotation Error": avg_median_metrics["rot_err"],
-        "Average Median Reprojection Error": avg_median_metrics["reproj_err"],
-        f"Precision @ Pose Error < ({t_threshold*100}cm, {R_threshold}deg)": prec_pose,
+        "Average Median Translation Error": scene_medians["trans_err"].mean(),
+        "Average Median Rotation Error": scene_medians["rot_err"].mean(),
+        "Average Median Reprojection Error": scene_medians["reproj_err"].mean(),
+        f"Precision @ Pose Error < ({t_threshold*100}cm, {R_threshold}deg)": good_pose.sum() / n_total,
         f"AUC @ Pose Error < ({t_threshold*100}cm, {R_threshold}deg)": auc_pose,
-        f"Precision @ VCRE < {vcre_threshold}px": prec_vcre,
+        f"Precision @ VCRE < {vcre_threshold}px": good_vcre.sum() / n_total,
         f"AUC @ VCRE < {vcre_threshold}px": auc_vcre,
-        "Estimates for % of frames": len(all_metrics["trans_err"]) / total_samples,
+        "Estimates for % of frames": flat["trans_err"].size / n_total,
     }
     return out, curves
 
 
 def evaluate(submission_path: Path, dataset_path: Path):
-    scenes = tuple(f.name for f in dataset_path.iterdir() if f.is_dir())
-    submission_zip = ZipFile(submission_path, "r")
-
-    all_results, all_failures = {}, 0
-    for scene in scenes:
-        metrics, failures = compute_scene_metrics(dataset_path, submission_zip, scene)
-        all_results[scene] = metrics
-        all_failures += failures
-
-    if all((len(m) == 0 for m in all_results.values())):
-        raise RuntimeError("Submission does not have any valid pose estimates")
-    return aggregate_results(all_results, all_failures)
+    """Evaluate one submission.zip against a split directory of scenes."""
+    scenes: List[str] = [f.name for f in Path(dataset_path).iterdir() if f.is_dir()]
+    with ZipFile(submission_path, "r") as submission_zip:
+        scores = {
+            scene: score_scene(Path(dataset_path), submission_zip, scene)
+            for scene in scenes
+        }
+    return summarize(scores)
 
 
 def main():

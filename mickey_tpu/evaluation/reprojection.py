@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geometry.rotations import quat2mat
-
 
 def project(pts: np.ndarray, K: np.ndarray, img_size=None) -> np.ndarray:
     """Project (N, 3|4) camera-frame points with K (3, 3); optional clamping."""
@@ -37,18 +35,40 @@ def get_grid_multipleheight() -> np.ndarray:
 eye_coords_glob = get_grid_multipleheight()
 
 
+def reprojection_errors(q_est, t_est, q_gt, t_gt, K, W, H) -> np.ndarray:
+    """Batched mean VCRE over N frames; all poses cam2world.
+
+    The residual transform inv(T_est) @ T_gt is built analytically
+    ([R|t]^-1 = [R^T|-R^T t]) and the 196-point eye grid is projected for all
+    frames in one einsum pass (behavior spec: reference
+    ``benchmark/reprojection.py:63-87``, one frame at a time there).
+    """
+    from ..geometry.rotations import quats_to_mats
+
+    q_est = np.atleast_2d(np.asarray(q_est, np.float64))
+    q_gt = np.atleast_2d(np.asarray(q_gt, np.float64))
+    t_est = np.atleast_2d(np.asarray(t_est, np.float64))
+    t_gt = np.atleast_2d(np.asarray(t_gt, np.float64))
+    K = np.asarray(K, np.float64).reshape(-1, 3, 3)
+
+    R_est, R_gt = quats_to_mats(q_est), quats_to_mats(q_gt)
+    # residual rotation/translation of inv(T_est) @ T_gt
+    R_res = np.einsum("nji,njk->nik", R_est, R_gt)
+    t_res = np.einsum("nji,nj->ni", R_est, t_gt - t_est)
+
+    grid = eye_coords_glob[:, :3]  # (G, 3)
+    pts = np.einsum("nij,gj->ngi", R_res, grid) + t_res[:, None, :]
+
+    def _proj(p):  # (N, G, 3) -> clipped (N, G, 2)
+        uv = np.einsum("nij,ngj->ngi", K, p)
+        uv = uv[..., :2] / uv[..., 2:3]
+        return np.clip(uv, 0.0, np.array([W, H], np.float64))
+
+    uv_gt = _proj(np.broadcast_to(grid, pts.shape))
+    uv_pred = _proj(pts)
+    return np.linalg.norm(uv_gt - uv_pred, axis=-1).mean(axis=-1)
+
+
 def reprojection_error(q_est, t_est, q_gt, t_gt, K, W, H) -> float:
     """Mean VCRE for one frame; q/t are cam2world (reference :63-87)."""
-    eye = eye_coords_glob
-    uv_gt = project(eye, K, (W, H))
-
-    cam2w_est = np.eye(4)
-    cam2w_est[:3, :3] = quat2mat(q_est)
-    cam2w_est[:3, -1] = t_est
-    cam2w_gt = np.eye(4)
-    cam2w_gt[:3, :3] = quat2mat(q_gt)
-    cam2w_gt[:3, -1] = t_gt
-
-    eyes_residual = (np.linalg.inv(cam2w_est) @ cam2w_gt @ eye.T).T
-    uv_pred = project(eyes_residual, K, (W, H))
-    return float(np.linalg.norm(uv_gt - uv_pred, ord=2, axis=1).mean())
+    return float(reprojection_errors(q_est, t_est, q_gt, t_gt, K, W, H)[0])

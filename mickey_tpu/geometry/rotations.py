@@ -21,6 +21,8 @@ __all__ = [
     "quat2mat",
     "mat2quat",
     "qnorm",
+    "quats_to_mats",
+    "qmult_batch",
 ]
 
 
@@ -106,6 +108,41 @@ def mat2quat(R):
     if q[0] < 0:
         q = -q
     return q / np.linalg.norm(q)
+
+
+def quats_to_mats(q: np.ndarray) -> np.ndarray:
+    """Batched (N, 4) unit-normalized quaternions (w,x,y,z) -> (N, 3, 3)."""
+    q = np.asarray(q, dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3), dtype=np.float64)
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - z * w)
+    R[..., 0, 2] = 2 * (x * z + y * w)
+    R[..., 1, 0] = 2 * (x * y + z * w)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - x * w)
+    R[..., 2, 0] = 2 * (x * z - y * w)
+    R[..., 2, 1] = 2 * (y * z + x * w)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def qmult_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched Hamilton product (..., 4) x (..., 4) -> (..., 4), (w,x,y,z)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
 
 
 # -- JAX (batched) versions used inside jitted code ---------------------------

@@ -6,8 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from mickey_tpu.evaluation import (
-    Inputs,
-    MetricManager,
+    PoseTable,
+    score_frames,
     VARIANTS_ANGLE_COS,
     VARIANTS_ANGLE_SIN,
     precision_recall,
@@ -38,10 +38,12 @@ class TestQuatAngleError:
         for _ in range(10):
             q = rng.normal(size=4)
             q /= np.linalg.norm(q)
-            inp = Inputs(
-                q_gt=q, t_gt=t_gt, q_est=q, t_est=t_est, confidence=1.0, K=make_K(), W=540, H=720
-            )
-            assert abs(MetricManager.trans_err(inp) - expected) < 1e-12
+            frame = np.array([0], np.int64)
+            gt = PoseTable(frame, q[None], t_gt[None], np.array([np.nan]))
+            est = PoseTable(frame, q[None], t_est[None], np.array([1.0]))
+            m = score_frames(gt, est, make_K()[None], 540, 720)
+            assert abs(m["trans_err"][0] - expected) < 1e-12
+            assert m["confidence"][0] == 1.0
 
     @pytest.mark.parametrize("variant", [VARIANTS_ANGLE_SIN, VARIANTS_ANGLE_COS])
     def test_rotation_error_axis_angle(self, variant, rng):
