@@ -113,6 +113,7 @@ def eval_split(args):
     if args.config:
         cfg.merge_from_file(args.config)
 
+    cfg.TRAINING.NUM_WORKERS = 8  # IO threads for the prefetching loader
     if args.split == "test":
         cfg.TRAINING.BATCH_SIZE = args.batch_size or 8
         loader = DataModule(cfg, drop_last_val=False).test_dataloader()
@@ -121,7 +122,6 @@ def eval_split(args):
         loader = DataModule(cfg, drop_last_val=False).val_dataloader()
     else:
         raise NotImplementedError(f"Invalid split: {args.split}")
-    cfg.TRAINING.NUM_WORKERS = 8
 
     model = build_model(cfg, args.checkpoint, dinov2_path=args.dinov2)
     mesh = get_mesh()

@@ -156,6 +156,31 @@ class TestSubmissionEndToEnd:
         assert 0 <= metrics["Estimates for % of frames"] <= 1
         assert metrics["Estimates for % of frames"] > 0
 
+    def test_predict_mesh_sharded(self, fake_dataset, tmp_path):
+        """The actual multi-chip serving path: batches padded to the device
+        count and sharded over an 8-device mesh (cli/submission.py mesh arm)."""
+        import jax
+
+        from mickey_tpu.cli.submission import predict, save_submission
+        from mickey_tpu.evaluation import evaluate
+        from mickey_tpu.models import build_model
+        from mickey_tpu.parallel import get_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        cfg = tiny_cfg(fake_dataset)
+        loader = DataModule(cfg, drop_last_val=False).val_dataloader()
+        model = build_model(cfg, checkpoint="")
+        mesh = get_mesh(num_devices=8)
+        results = predict(loader, model, mesh=mesh, progress=False)
+        assert set(results.keys()) == {"s00000", "s00001"}
+
+        zip_path = tmp_path / "submission_mesh.zip"
+        save_submission(results, zip_path)
+        metrics, _ = evaluate(zip_path, Path(fake_dataset) / "val")
+        assert metrics["Estimates for % of frames"] > 0
+
 
 class TestNativeIO:
     def test_native_decode_matches_cv2(self, tmp_path):
