@@ -154,7 +154,10 @@ def compute_correspondences(
     The two images are processed as ONE batched extractor call (2B images) —
     unlike the reference's two sequential forward passes
     (compute_correspondences.py:59-60) this keeps the MXU at full batch
-    occupancy.
+    occupancy. Documented deviation: in train mode, BatchNorm batch statistics
+    are therefore computed over the stacked 2B images rather than per B-image
+    pass — a strictly larger-sample estimate of the same statistics. Eval mode
+    (running stats) is bit-comparable; see tests/test_parity_full_model.py.
     """
     df = cfg.MICKEY.DINOV2.DOWN_FACTOR
     b = image0.shape[0]
