@@ -132,15 +132,26 @@ def estimate_pose(
     K0 = K0.astype(jnp.float32)
     K1 = K1.astype(jnp.float32)
 
-    keys = jax.random.split(key, it_matches)
+    k_outer, k_inner_base = jax.random.split(key)
+    inner_keys = jax.random.split(k_inner_base, it_matches)
 
-    def outer_step(carry, step_key):
-        k_outer, k_inner = jax.random.split(step_key)
+    # -- outer draws: ALL it_matches draws of num_samples candidates in ONE
+    # batched Gumbel top-k over a (it_matches, B, P) tensor. Inside the scan
+    # this was it_matches sequential top_k(P -> num_samples) kernels — the
+    # solver's dominant cost (BENCHLOG.md); one fused call lets XLA tile the
+    # full (it*B, P) sort at once. Statistically identical: Gumbel noise is
+    # iid across draws either way.
+    logw_all = jnp.broadcast_to(logw[None], (it_matches,) + logw.shape)
+    outer_idx = gumbel_topk_sample(
+        k_outer, logw_all, num_samples, approx=approx_sampling
+    )  # (it, B, S)
+    if remap is not None:
+        outer_idx = jnp.take_along_axis(
+            jnp.broadcast_to(remap[None], (it_matches,) + remap.shape), outer_idx, axis=2
+        )
 
-        # -- outer draw: num_samples candidate matches ∝ final_scores
-        idx = gumbel_topk_sample(k_outer, logw, num_samples, approx=approx_sampling)  # (B, S)
-        if remap is not None:
-            idx = jnp.take_along_axis(remap, idx, axis=1)
+    def outer_step(carry, xs):
+        k_inner, idx = xs  # idx: (B, S) global match indices of this draw
         idx0 = idx // N1
         idx1 = idx % N1
 
@@ -188,7 +199,9 @@ def estimate_pose(
         }
         return carry, out
 
-    _, per_step = jax.lax.scan(outer_step, None, keys)  # leaves: (it_matches, B, ...)
+    _, per_step = jax.lax.scan(
+        outer_step, None, (inner_keys, outer_idx)
+    )  # leaves: (it_matches, B, ...)
 
     # -- global best across the it_matches outer draws
     step_scores = per_step["score"]  # (it, B)
