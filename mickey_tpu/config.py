@@ -235,6 +235,9 @@ def default_config() -> Config:
                 # faster than exact sampling on v5e.
                 "SAMPLING_PREFILTER": 4096,
                 "USE_PALLAS_ATTENTION": True,
+                # fused correlation+dustbin+dual-softmax kernel (forward-only;
+                # used at inference, XLA path during training for autodiff)
+                "USE_PALLAS_MATCHER": True,
                 "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
             },

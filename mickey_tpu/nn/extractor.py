@@ -173,7 +173,8 @@ def compute_correspondences(
     kps0, depth0, scr0, dsc0 = _flatten_maps(k0, d0, s0, c0)
     kps1, depth1, scr1, dsc1 = _flatten_maps(k1, d1, s1, c1)
 
-    match = match_scores(params["matcher"], dsc0, dsc1, cfg)
+    # fused Pallas matcher is forward-only; training needs autodiff -> XLA path
+    match = match_scores(params["matcher"], dsc0, dsc1, cfg, allow_fused=not train)
     kp_scores = jnp.einsum(
         "bni,bmi->bnm", scr0, scr1, precision=jax.lax.Precision.HIGHEST
     )

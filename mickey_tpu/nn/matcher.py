@@ -86,8 +86,27 @@ def sinkhorn(params: Params, dsc0: jnp.ndarray, dsc1: jnp.ndarray, cfg) -> jnp.n
     return jnp.exp(Z)[:, :-1, :-1]
 
 
-def match_scores(params: Params, dsc0: jnp.ndarray, dsc1: jnp.ndarray, cfg) -> jnp.ndarray:
+def match_scores(
+    params: Params, dsc0: jnp.ndarray, dsc1: jnp.ndarray, cfg, allow_fused: bool = False
+) -> jnp.ndarray:
     if cfg.FEATURE_MATCHER.TYPE == "DualSoftmax":
+        fm = cfg.FEATURE_MATCHER.DUAL_SOFTMAX
+        if (
+            allow_fused
+            and cfg.TPU.get("USE_PALLAS_MATCHER", True)
+            and jax.default_backend() != "cpu"
+        ):
+            # forward-only Pallas fusion: couplings never materialize in HBM
+            from ..ops.fused_matcher import fused_dual_softmax
+
+            dustbin = params.get("dustbin_score", jnp.float32(0.0))
+            return fused_dual_softmax(
+                dsc0,
+                dsc1,
+                dustbin,
+                temperature=float(fm.TEMPERATURE),
+                use_dustbin=bool(fm.USE_DUSTBIN),
+            )
         return dual_softmax(params, dsc0, dsc1, cfg)
     return sinkhorn(params, dsc0, dsc1, cfg)
 

@@ -1,0 +1,65 @@
+"""Parity: fused Pallas dual-softmax kernel vs the XLA reference path.
+
+Runs the kernel in Pallas interpret mode on CPU; the XLA path
+(``nn/matcher.py::dual_softmax``) is itself golden-locked to the torch
+reference in tests/test_parity_heads.py, so kernel == XLA == reference.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mickey_tpu.config import default_config
+from mickey_tpu.nn.matcher import dual_softmax
+from mickey_tpu.ops.fused_matcher import fused_dual_softmax
+
+
+def _descs(rng, b, n, c):
+    d = rng.normal(size=(b, n, c)).astype(np.float32)
+    return jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+
+@pytest.mark.parametrize("use_dustbin", [True, False])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 20, 20, 16),  # tiny, unaligned
+        (1, 300, 260, 128),  # multi-tile M, unaligned M/N, production C
+    ],
+)
+def test_fused_matches_xla(rng, use_dustbin, shape):
+    b, m, n, c = shape
+    dsc0 = _descs(rng, b, m, c)
+    dsc1 = _descs(rng, b, n, c)
+
+    cfg = default_config()
+    cfg.FEATURE_MATCHER.DUAL_SOFTMAX.USE_DUSTBIN = use_dustbin
+    dustbin = jnp.float32(0.7)
+    params = {"dustbin_score": dustbin} if use_dustbin else {}
+
+    ref = dual_softmax(params, dsc0, dsc1, cfg)
+    out = fused_dual_softmax(
+        dsc0,
+        dsc1,
+        dustbin,
+        temperature=float(cfg.FEATURE_MATCHER.DUAL_SOFTMAX.TEMPERATURE),
+        use_dustbin=use_dustbin,
+        block_m=128,
+        interpret=True,
+    )
+    assert out.shape == (b, m, n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-5)
+
+
+def test_fused_probability_mass(rng):
+    """Scores stay in (0, 1] and behave like the dual-softmax product."""
+    dsc0 = _descs(rng, 1, 64, 32)
+    out = fused_dual_softmax(
+        dsc0, dsc0, jnp.float32(1.0), temperature=0.1, block_m=128, interpret=True
+    )
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1 + 1e-6).all()
+    # self-matching: diagonal dominates
+    assert (o[0].argmax(axis=1) == np.arange(64)).mean() > 0.9
