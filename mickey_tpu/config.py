@@ -209,6 +209,9 @@ def default_config() -> Config:
             "TRAINING": {
                 "BATCH_SIZE": 8,
                 "NUM_WORKERS": 8,
+                # batched C++ JPEG ingest (native/mickey_io.cpp) as the loader
+                # decode backend; falls back to cv2-per-sample automatically
+                "NATIVE_LOADER": True,
                 "NUM_GPUS": 1,  # kept for YAML compat; TPU build uses mesh size
                 "SAMPLER": "scene_balance",
                 "N_SAMPLES_SCENE": 100,

@@ -1,10 +1,14 @@
 """Threaded prefetching batch loader (counterpart of lib/datasets/datamodules.py).
 
-Replaces torch DataLoader: a thread pool decodes/resizes images (cv2 releases
-the GIL) while the accelerator computes, with a bounded prefetch queue of
-ready numpy batches. Batches are dicts of stacked numpy arrays for array
-fields and lists for string fields — the same collation contract as the
-reference's default torch collate.
+Replaces torch DataLoader: batches are decoded while the accelerator
+computes, behind a bounded prefetch queue of ready numpy batches. The
+default decode backend is the native C++ ingest (``native/mickey_io.cpp``:
+one GIL-free call per batch — threaded JPEG decode + bilinear resize +
+normalize, already stacked (B, H, W, 3) float32); cv2-per-sample is the
+automatic fallback when the extension is unavailable or augmentation
+transforms are configured. Batches are dicts of stacked numpy arrays for
+array fields and lists for string fields — the same collation contract as
+the reference's default torch collate.
 """
 
 from __future__ import annotations
@@ -57,6 +61,7 @@ class DataLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         seed: int = 0,
+        native_io: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -66,7 +71,20 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        self.native_io = native_io
+        self._native_batch = None  # lazily resolved decode backend
         self._epoch = 0
+
+    def _native_usable(self) -> bool:
+        """Native batch ingest applies when the extension builds, the dataset
+        exposes per-sample paths/meta, and no augmentation is configured."""
+        if not self.native_io or not hasattr(self.dataset, "locate"):
+            return False
+        if any(getattr(d, "transforms", None) is not None for d in self.dataset.datasets):
+            return False
+        from .native import ensure_built
+
+        return ensure_built() is not None
 
     def _indices(self) -> List[int]:
         if self.sampler is not None:
@@ -120,7 +138,35 @@ class DataLoader:
             stop.set()
 
     def _load_batch(self, idxs: List[int]) -> Dict:
+        if self._native_batch is None:
+            self._native_batch = self._native_usable()
+        if self._native_batch:
+            batch = self._load_batch_native(idxs)
+            if batch is not None:
+                return batch
+            self._native_batch = False  # decode backend failed: fall back for good
         return collate([self.dataset[i] for i in idxs])
+
+    def _load_batch_native(self, idxs: List[int]) -> Dict:
+        """One GIL-free native call decodes the whole batch (2B JPEGs)."""
+        from .native import read_batch
+
+        samples, paths, resize = [], [], None
+        for i in idxs:
+            ds, local = self.dataset.locate(i)
+            samples.append(ds.sample_meta(local))
+            p0, p1 = ds.image_paths(local)
+            paths.extend((p0, p1))
+            resize = ds.resize
+        images = read_batch(
+            paths, width=resize[0], height=resize[1], num_threads=self.num_workers
+        )
+        if images is None:
+            return None
+        for j, s in enumerate(samples):
+            s["image0"] = images[2 * j]
+            s["image1"] = images[2 * j + 1]
+        return collate(samples)
 
 
 class DataModule:
@@ -161,6 +207,7 @@ class DataModule:
             self.cfg.TRAINING.BATCH_SIZE,
             sampler=self._sampler(dataset),
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
+            native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
         )
 
     def val_dataloader(self) -> DataLoader:
@@ -170,6 +217,7 @@ class DataModule:
             self.cfg.TRAINING.BATCH_SIZE,
             drop_last=self.drop_last_val,
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
+            native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
         )
 
     def test_dataloader(self) -> DataLoader:
@@ -179,6 +227,7 @@ class DataModule:
             self.cfg.TRAINING.BATCH_SIZE,
             drop_last=self.drop_last_val,
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
+            native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
         )
 
 
@@ -196,6 +245,7 @@ class DataModuleTraining(DataModule):
             self.cfg.TRAINING.BATCH_SIZE,
             sampler=self._sampler(dataset, seed=self.seed),
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
+            native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
         )
 
     def val_dataloader(self) -> DataLoader:
@@ -206,4 +256,5 @@ class DataModuleTraining(DataModule):
             sampler=self._sampler(dataset, reset_epoch=True),
             drop_last=True,
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
+            native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
         )

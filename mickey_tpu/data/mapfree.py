@@ -152,15 +152,17 @@ class MapFreeScene:
     def __len__(self) -> int:
         return self._n_pairs
 
-    def __getitem__(self, index: int) -> Dict:
+    def image_paths(self, index: int) -> Tuple[str, str]:
+        """Absolute JPEG paths of a pair (for batched native ingest)."""
+        return (
+            str(self.scene_root / self.paths0[index]),
+            str(self.scene_root / self.paths1[index]),
+        )
+
+    def sample_meta(self, index: int) -> Dict:
+        """The sample dict WITHOUT images — lets a batched decoder fill them."""
         path0, path1 = self.paths0[index], self.paths1[index]
         return {
-            "image0": read_color_image(
-                self.scene_root / path0, self.resize, augment_fn=self.transforms
-            ),  # (H, W, 3) float32
-            "image1": read_color_image(
-                self.scene_root / path1, self.resize, augment_fn=self.transforms
-            ),
             "T_0to1": self.T_0to1[index],
             "abs_q_0": self.q0[index],
             "abs_c_0": self.c0[index],
@@ -177,6 +179,17 @@ class MapFreeScene:
             "pair_names": (path0, path1),
         }
 
+    def __getitem__(self, index: int) -> Dict:
+        sample = self.sample_meta(index)
+        path0, path1 = self.paths0[index], self.paths1[index]
+        sample["image0"] = read_color_image(
+            self.scene_root / path0, self.resize, augment_fn=self.transforms
+        )  # (H, W, 3) float32
+        sample["image1"] = read_color_image(
+            self.scene_root / path1, self.resize, augment_fn=self.transforms
+        )
+        return sample
+
 
 class ConcatDataset:
     """Minimal torch-free ConcatDataset."""
@@ -188,10 +201,15 @@ class ConcatDataset:
     def __len__(self):
         return self.cumulative_sizes[-1] if self.cumulative_sizes else 0
 
-    def __getitem__(self, idx):
+    def locate(self, idx) -> Tuple[object, int]:
+        """(owning dataset, local index) of a global index."""
         ds = int(np.searchsorted(self.cumulative_sizes, idx, side="right"))
         lo = 0 if ds == 0 else self.cumulative_sizes[ds - 1]
-        return self.datasets[ds][idx - lo]
+        return self.datasets[ds], idx - lo
+
+    def __getitem__(self, idx):
+        ds, local = self.locate(idx)
+        return ds[local]
 
 
 class MapFreeDataset(ConcatDataset):

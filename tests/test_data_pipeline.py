@@ -132,6 +132,29 @@ class TestDataset:
         assert b0["image0"].dtype == np.float32
         assert isinstance(b0["scene_id"], list)
 
+    def test_loader_native_backend_matches_cv2(self, fake_dataset):
+        """Default loader path = native batched ingest; images must agree with
+        the cv2-per-sample fallback and all metadata must be identical."""
+        from mickey_tpu.data.native import ensure_built
+
+        if ensure_built() is None:
+            pytest.skip("native extension unavailable")
+
+        cfg = tiny_cfg(fake_dataset)
+        dm = DataModule(cfg, drop_last_val=False)
+        native_batches = list(dm.val_dataloader())
+        cfg.TRAINING.NATIVE_LOADER = False
+        cv2_batches = list(DataModule(cfg, drop_last_val=False).val_dataloader())
+
+        assert len(native_batches) == len(cv2_batches)
+        for bn, bc in zip(native_batches, cv2_batches):
+            assert np.abs(bn["image0"] - bc["image0"]).mean() < 5e-3
+            assert np.abs(bn["image1"] - bc["image1"]).mean() < 5e-3
+            np.testing.assert_array_equal(bn["T_0to1"], bc["T_0to1"])
+            np.testing.assert_array_equal(bn["K_color0"], bc["K_color0"])
+            assert bn["pair_names"] == bc["pair_names"]
+            assert bn["scene_id"] == bc["scene_id"]
+
 
 class TestSubmissionEndToEnd:
     def test_predict_evaluate(self, fake_dataset, tmp_path):

@@ -1,0 +1,132 @@
+"""Production-scale training-step benchmark on the real chip.
+
+The reference's primary workload is training (reference train.py:20-91:
+4 x GPU x 100 epochs at 540x720, batch 8, LOSS_CLASS 20x20x512 budget).
+This times our full jitted train step — ViT-L bf16 forward on 2B images,
+heads+matcher forward/backward, differentiable RANSAC + REINFORCE surrogate,
+Adam update — at exactly that operating point, on one chip.
+
+Tunnel-safe timing: each iteration fetches ONE scalar (the loss) from a
+jitted step whose inputs vary (key fold + image perturbation). Reports step
+latency, pairs/s/chip, and XLA's own FLOP estimate -> effective TFLOP/s.
+
+Usage: python tools/bench_train_step.py [--iters 5] [--batch 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--height", type=int, default=714)  # 720 cropped to /14
+    parser.add_argument("--width", type=int, default=532)  # 540 cropped to /14
+    parser.add_argument("--variant", default="vit_large")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mickey_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mickey_tpu.config import default_config
+    from mickey_tpu.geometry.rotations import quat2mat
+    from mickey_tpu.nn.extractor import model_init
+    from mickey_tpu.training.train_step import init_train_state, make_train_step
+
+    cfg = default_config()
+    cfg.MICKEY.DINOV2.VARIANT = args.variant
+    if args.variant == "vit_small":
+        cfg.MICKEY.DINOV2.CHANNEL_DIM = 384
+
+    B, H, W = args.batch, args.height, args.width
+    gh = cfg.LOSS_CLASS.GENERATE_HYPOTHESES
+    print(
+        f"== train step: B={B} pairs {H}x{W}, {args.variant} bf16, "
+        f"budget {gh.IT_MATCHES}x{gh.IT_RANSAC}x"
+        f"{cfg.LOSS_CLASS.SAMPLER.NUM_SAMPLES_MATCHES} ==",
+        flush=True,
+    )
+
+    params = model_init(jax.random.PRNGKey(0), cfg)
+    state, backbone = init_train_state(cfg, params)
+    train_step = make_train_step(cfg)
+
+    rng = np.random.default_rng(0)
+    T = np.zeros((B, 4, 4), np.float32)
+    for b in range(B):
+        q = rng.normal(size=4)
+        T[b, :3, :3] = quat2mat(q / np.linalg.norm(q))
+        T[b, :3, 3] = rng.normal(size=3) * 0.3
+        T[b, 3, 3] = 1
+    K = np.zeros((B, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 550
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = W / 2, H / 2, 1
+    batch = {
+        "image0": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "image1": jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)),
+        "T_0to1": jnp.asarray(T),
+        "K_color0": jnp.asarray(K),
+        "K_color1": jnp.asarray(K),
+        "Kori_color0": jnp.asarray(K),
+        "Kori_color1": jnp.asarray(K),
+    }
+    key = jax.random.PRNGKey(0)
+    topk = jnp.float32(80.0)
+
+    # XLA's own FLOP estimate for the whole step
+    flops = None
+    try:
+        lowered = train_step.lower(state, backbone, batch, key, topk)
+        cost = lowered.compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops = float(cost["flops"])
+            print(f"XLA cost analysis: {flops/1e12:.2f} TFLOP/step", flush=True)
+    except Exception as e:  # the remote service may not expose cost analysis
+        print(f"# cost_analysis unavailable: {type(e).__name__}: {e}", flush=True)
+
+    # compile + warmup (retry: remote-compile service drops long requests)
+    for attempt in range(5):
+        try:
+            t0 = time.perf_counter()
+            state, metrics = train_step(state, backbone, batch, key, topk)
+            loss = float(metrics["loss"])
+            print(
+                f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s "
+                f"loss={loss:.4f} grads_finite={float(metrics['grads_finite'])}",
+                flush=True,
+            )
+            break
+        except Exception as e:
+            if attempt == 4:
+                raise
+            print(f"# warmup attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(15)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        step_key = jax.random.fold_in(key, i)
+        b2 = dict(batch, image0=batch["image0"] * (1.0 + 1e-9 * i))
+        state, metrics = train_step(state, backbone, b2, step_key, topk)
+        loss = float(metrics["loss"])  # scalar fetch = sync point
+        assert np.isfinite(loss), metrics
+    dt = (time.perf_counter() - t0) / args.iters
+
+    line = f"train_step {dt*1e3:9.2f} ms   ({B/dt:6.2f} pairs/s/chip)"
+    if flops:
+        line += f"   ({flops/dt/1e12:6.1f} TFLOP/s effective)"
+    print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()
