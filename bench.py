@@ -14,13 +14,18 @@ host every iteration — a true synchronization point. Inputs vary per
 iteration (key fold-in + epsilon image perturbation) so nothing can be
 cached or hoisted.
 
-Baseline derivation (vs_baseline): the reference publishes no numbers
-(BASELINE.md). The reference pipeline on A100 is dominated by
-torch.multinomial over the 3.7M-entry match distribution (20 draws), python
-refinement loops with .item() syncs, and ~3.3 TFLOP/pair of fp16 compute;
-we estimate ~2 image pairs/s/A100 for the full estimate_pose_vectorized
-path. The north-star target is 5x A100 throughput per chip (BASELINE.json),
-so vs_baseline = value / (5 * 2.0) — vs_baseline >= 1.0 means target met.
+Baseline derivation (vs_baseline): the reference publishes no numbers, so
+the A100 denominator is DERIVED — FLOP accounting of the fp16 ViT-L trunk
+(~25 TFLOP/batch-8 at 40-55% MFU) plus the torch.multinomial-dominated
+solver, corroborated by a same-CPU structural measurement
+(tools/bench_reference_solver.py: the reference solver is ~100%
+multinomial; ours is 11x faster on identical hardware). Central estimate:
+22 pairs/s/A100 (+-40%); full derivation in BASELINE.md. The north-star
+target is 5x A100 throughput on a v5e-8 POD (BASELINE.json; 5x per chip is
+physically impossible at 0.63x relative peak FLOPs). Pairs are
+embarrassingly parallel across chips (mesh-sharded predict is tested), so
+vs_baseline = (value * 8 chips) / (5 * 22.0) — >= 1.0 means the v5e-8 pod
+meets the 5x target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -30,8 +35,9 @@ import time
 
 import numpy as np
 
-A100_REFERENCE_PAIRS_PER_SEC = 2.0  # estimated; see module docstring
+A100_REFERENCE_PAIRS_PER_SEC = 22.0  # derived; see BASELINE.md round-2 section
 TARGET_MULTIPLIER = 5.0
+POD_CHIPS = 8  # the north-star target is defined on a v5e-8 pod
 
 BATCH = 8
 H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
@@ -94,6 +100,7 @@ def main():
     assert np.isfinite(v)
 
     pairs_per_sec = BATCH / dt
+    # pod throughput vs the 5x-A100 north star (see module docstring)
     baseline = TARGET_MULTIPLIER * A100_REFERENCE_PAIRS_PER_SEC
     print(
         json.dumps(
@@ -101,7 +108,7 @@ def main():
                 "metric": "mapfree_inference_pairs_per_sec_per_chip",
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / baseline, 3),
+                "vs_baseline": round(pairs_per_sec * POD_CHIPS / baseline, 3),
             }
         )
     )
