@@ -91,7 +91,7 @@ def _match_jit(params, kpts, depths, scores, descs, cfg_id):
     (k0, k1), (d0, d1), (s0, s1), (c0, c1) = ((t[:b], t[b:]) for t in (kpts, depths, scores, descs))
     kps0, depth0, scr0, dsc0 = _flatten_maps(k0, d0, s0, c0)
     kps1, depth1, scr1, dsc1 = _flatten_maps(k1, d1, s1, c1)
-    match = match_scores(params["matcher"], dsc0, dsc1, cfg)
+    match = match_scores(params["matcher"], dsc0, dsc1, cfg, allow_fused=True)
     kp_scores = jnp.einsum("bni,bmi->bnm", scr0, scr1, precision=jax.lax.Precision.HIGHEST)
     return Correspondences(
         kps0=kps0, depth0=depth0, scr0=scr0, dsc0=dsc0,

@@ -30,6 +30,11 @@ def main():
     parser.add_argument("--height", type=int, default=714)  # 720 cropped to /14
     parser.add_argument("--width", type=int, default=532)  # 540 cropped to /14
     parser.add_argument("--variant", default="vit_large")
+    parser.add_argument(
+        "--forward_only",
+        action="store_true",
+        help="time the loss forward (no grad/optimizer) to decompose the step",
+    )
     args = parser.parse_args()
 
     import jax
@@ -60,7 +65,35 @@ def main():
 
     params = model_init(jax.random.PRNGKey(0), cfg)
     state, backbone = init_train_state(cfg, params)
-    train_step = make_train_step(cfg)
+
+    if args.forward_only:
+        import jax.numpy as jnp
+
+        from mickey_tpu.nn.extractor import compute_correspondences
+        from mickey_tpu.training.loss import LossConfig, metric_pose_loss
+
+        lc = LossConfig.from_cfg(cfg)
+
+        @jax.jit
+        def fwd_step(trainable, backbone, batch, key, topk):
+            p = dict(trainable, dinov2=backbone)
+            corr, _ = compute_correspondences(p, batch["image0"], batch["image1"], cfg, train=True)
+            total, aux = metric_pose_loss(
+                corr.scores * corr.kp_scores, corr.kps0, corr.depth0, corr.kps1,
+                corr.depth1, batch["K_color0"], batch["K_color1"],
+                batch["Kori_color0"], batch["Kori_color1"],
+                batch["T_0to1"][:, :3, :3], batch["T_0to1"][:, :3, 3][:, None, :],
+                key, lc, topk,
+            )
+            return total
+
+        def train_step(state, backbone, batch, key, topk):
+            loss = fwd_step(state.params, backbone, batch, key, topk)
+            return state, {"loss": loss, "grads_finite": jnp.float32(1.0)}
+
+        train_step.lower = lambda *a, **k: fwd_step.lower(state.params, *a[1:], **k)
+    else:
+        train_step = make_train_step(cfg)
 
     rng = np.random.default_rng(0)
     T = np.zeros((B, 4, 4), np.float32)
