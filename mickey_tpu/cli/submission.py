@@ -35,7 +35,14 @@ class Pose:
 
 
 def predict(loader, model, mesh=None, progress: bool = True):
-    """Batched inference -> {scene: [Pose, ...]} (reference submission.py:32-61)."""
+    """Batched inference -> {scene: [Pose, ...]} (reference submission.py:32-61).
+
+    Double-buffered: device compute of batch i+1 is dispatched before batch
+    i's results are fetched to the host, so pose post-processing and the
+    device->host transfer overlap the next batch's compute (JAX dispatch is
+    async; np.asarray is the sync point). The threaded loader prefetches host
+    IO on its own.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +62,25 @@ def predict(loader, model, mesh=None, progress: bool = True):
         except ImportError:
             pass
 
+    def drain(out, real_b, data):
+        R_b = np.asarray(out.R)[:real_b]
+        t_b = np.asarray(out.t)[:real_b]
+        conf_b = np.asarray(out.inliers)[:real_b]
+
+        for i in range(real_b):
+            R, t, conf = R_b[i], t_b[i].reshape(-1), float(conf_b[i])
+            # skip frames without finite estimates (reference submission.py:51-52)
+            if np.isnan(R).any() or np.isnan(t).any() or np.isinf(t).any():
+                continue
+            if np.abs(R).max() == 0:  # zero-pose fallback = no estimate
+                continue
+            scene = data["scene_id"][i]
+            query_img = data["pair_names"][i][1]
+            results_dict[scene].append(
+                Pose(image_name=query_img, q=mat2quat(R).reshape(-1), t=t, inliers=conf)
+            )
+
+    in_flight = None  # (out, real_b, data) awaiting fetch
     for step, data in enumerate(it):
         arrays = {
             "image0": data["image0"],
@@ -74,23 +100,11 @@ def predict(loader, model, mesh=None, progress: bool = True):
             key=step_key,
             lite=True,  # poses only; skip materializing dense trunk outputs
         )
-
-        R_b = np.asarray(out.R)[:real_b]
-        t_b = np.asarray(out.t)[:real_b]
-        conf_b = np.asarray(out.inliers)[:real_b]
-
-        for i in range(real_b):
-            R, t, conf = R_b[i], t_b[i].reshape(-1), float(conf_b[i])
-            # skip frames without finite estimates (reference submission.py:51-52)
-            if np.isnan(R).any() or np.isnan(t).any() or np.isinf(t).any():
-                continue
-            if np.abs(R).max() == 0:  # zero-pose fallback = no estimate
-                continue
-            scene = data["scene_id"][i]
-            query_img = data["pair_names"][i][1]
-            results_dict[scene].append(
-                Pose(image_name=query_img, q=mat2quat(R).reshape(-1), t=t, inliers=conf)
-            )
+        if in_flight is not None:
+            drain(*in_flight)
+        in_flight = (out, real_b, data)
+    if in_flight is not None:
+        drain(*in_flight)
     return results_dict
 
 

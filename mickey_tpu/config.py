@@ -238,6 +238,15 @@ def default_config() -> Config:
                 # faster than exact sampling on v5e.
                 "SAMPLING_PREFILTER": 4096,
                 "USE_PALLAS_ATTENTION": True,
+                # flash-attention (block_q, block_k); the padded ViT sequence
+                # must divide both or the kernel falls back to 256/512.
+                # bq512/bk2048 measured fastest inside the staged backbone
+                # (346 vs 380 ms/batch-8, tools/bench_backbone_blocks.py) and
+                # compiles reliably now that the backbone is its own program.
+                "ATTENTION_BLOCKS": [512, 2048],
+                # lax.scan unroll over the 24 ViT blocks (2 measured best:
+                # 344 -> 336 ms/batch-8, tools/bench_backbone_blocks.py)
+                "SCAN_UNROLL": 2,
                 # fused correlation+dustbin+dual-softmax kernel (forward-only;
                 # used at inference, XLA path during training for autodiff)
                 "USE_PALLAS_MATCHER": True,

@@ -35,6 +35,17 @@ class MicKeyTrainer:
 
         self.mesh = mesh if mesh is not None else get_mesh()
         params = model_init(jax.random.PRNGKey(seed), cfg)
+        # bootstrap the frozen backbone like the reference (auto-download or
+        # local cache, mickey_extractor.py:14-17); random init if unavailable
+        if cfg.MICKEY.DINOV2.get("VARIANT", "vit_large") == "vit_large":
+            from ..training.checkpoint import convert_dinov2_state_dict, resolve_dinov2_weights
+
+            dpath = resolve_dinov2_weights(download=bool(cfg.MICKEY.DINOV2.get("DOWNLOAD", True)))
+            if dpath:
+                import torch  # host-side only
+
+                dsd = torch.load(dpath, map_location="cpu", weights_only=False)
+                params["dinov2"] = convert_dinov2_state_dict(dsd)
         state, backbone = init_train_state(cfg, params)
         self.state = replicate(self.mesh, state)
         self.backbone = replicate(self.mesh, backbone)

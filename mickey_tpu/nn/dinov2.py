@@ -171,7 +171,8 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, h0: int, w0: int) -> jnp.nd
 # -- forward -------------------------------------------------------------------
 
 
-def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num_heads: int):
+def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num_heads: int,
+                 attn_blocks=(256, 512)):
     """One pre-norm ViT block with LayerScale. x: (B, S, C)."""
     b, s, c = x.shape
     d = c // num_heads
@@ -180,7 +181,7 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
     qkv = linear(bp["attn"]["qkv"], h)  # (B, S, 3C)
     qkv = qkv.reshape(b, s, 3, num_heads, d)
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
-    attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas)
+    attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas, blocks=attn_blocks)
     attn = jnp.moveaxis(attn, 1, 2).reshape(b, s, c)
     attn = linear(bp["attn"]["proj"], attn)
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * attn
@@ -206,6 +207,8 @@ def vit_forward_features(
     dtype: jnp.dtype = jnp.bfloat16,
     use_pallas: bool = True,
     pad_to: int = 512,
+    attn_blocks=(256, 512),
+    scan_unroll: int = 1,
 ) -> jnp.ndarray:
     """Frozen-backbone feature extraction.
 
@@ -240,16 +243,17 @@ def vit_forward_features(
             x = jnp.pad(x, ((0, 0), (0, padded - seq_len), (0, 0)))
 
     def body(carry, bp):
-        return _block_apply(carry, bp, seq_len, use_pallas, num_heads), None
+        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x, _ = jax.lax.scan(body, x, params["blocks"], unroll=scan_unroll)
 
     x = x[:, :seq_len]
     x = layernorm(params["norm"], x.astype(jnp.float32), eps=1e-6)
     return x[:, 1:]  # drop cls token -> patch tokens, float32
 
 
-def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True, num_heads=16, patch_size=14):
+def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True, num_heads=16, patch_size=14,
+                     attn_blocks=(256, 512), scan_unroll=1):
     """Patch tokens reshaped to a (B, H/14, W/14, C) feature map (fp32).
 
     The frozen-backbone boundary: output is wrapped in stop_gradient, the
@@ -260,7 +264,8 @@ def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True,
     b, h, w, _ = images_nhwc.shape
     toks = vit_forward_features(
         params, images_nhwc, patch_size=patch_size, num_heads=num_heads,
-        dtype=dtype, use_pallas=use_pallas,
+        dtype=dtype, use_pallas=use_pallas, attn_blocks=attn_blocks,
+        scan_unroll=scan_unroll,
     )
     fmap = toks.reshape(b, h // patch_size, w // patch_size, -1)
     return jax.lax.stop_gradient(fmap)

@@ -64,6 +64,8 @@ def backbone_features(params: Params, images: jnp.ndarray, cfg) -> jnp.ndarray:
         use_pallas=cfg.TPU.USE_PALLAS_ATTENTION and jax.default_backend() != "cpu",
         num_heads=VIT_CONFIGS[variant]["num_heads"],
         patch_size=df,
+        attn_blocks=tuple(cfg.TPU.get("ATTENTION_BLOCKS", (256, 512))),
+        scan_unroll=int(cfg.TPU.get("SCAN_UNROLL", 1)),
     )
 
 

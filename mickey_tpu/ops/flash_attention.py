@@ -62,7 +62,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, blo
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("seq_len", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("seq_len", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -70,6 +70,7 @@ def flash_attention(
     seq_len: int,
     block_q: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention: softmax(q k^T / sqrt(D)) v.
 
@@ -98,6 +99,7 @@ def flash_attention(
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * s * s * d, bytes_accessed=4 * bh * s * d * 4, transcendentals=bh * s * s
         ),
+        interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, s, d)
 
@@ -114,14 +116,18 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seq_len:
     return out.astype(q.dtype)
 
 
-def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True):
+def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True,
+                         blocks=(256, 512)):
     """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere.
 
-    NOTE: bq512/bk2048 measures ~1.7x faster standalone (BENCHLOG.md), but
-    the backbone program containing it exceeds this environment's flaky
-    remote-compile limits; the proven bq256/bk512 stays the default for
-    compile reliability.
+    ``blocks`` = (block_q, block_k); configurable via cfg.TPU.ATTENTION_BLOCKS.
+    bq512/bk2048 measures faster standalone (BENCHLOG.md) but historically the
+    backbone program containing it could not compile through the flaky
+    remote-compile service; the staged pipeline re-tests it per round.
     """
+    bq, bk = blocks
+    if use_pallas and q.shape[2] % bq == 0 and q.shape[2] % bk == 0:
+        return flash_attention(q, k, v, seq_len, block_q=bq, block_k=bk)
     if use_pallas and q.shape[2] % 512 == 0:
         return flash_attention(q, k, v, seq_len, block_q=256, block_k=512)
     return attention_reference(q, k, v, seq_len)

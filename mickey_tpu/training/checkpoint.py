@@ -164,6 +164,65 @@ def load_reference_checkpoint(ckpt_path: str, dinov2_path: Optional[str] = None)
     return params
 
 
+_DINOV2_URL = (
+    "https://dl.fbaipublicfiles.com/dinov2/dinov2_vitl14/dinov2_vitl14_pretrain.pth"
+)
+
+
+def resolve_dinov2_weights(path: Optional[str] = None, download: bool = True) -> Optional[str]:
+    """Locate (or fetch) the frozen DINOv2 ViT-L/14 weights.
+
+    Mirrors the reference's bootstrap convention (``mickey_extractor.py:14-17``
+    downloads from fbaipublicfiles at init). Resolution order:
+      1. an explicit ``path`` argument (returned as-is if it exists);
+      2. ``$MICKEY_DINOV2_PATH``;
+      3. ``weights/dinov2_vitl14_pretrain.pth`` under the CWD;
+      4. ``~/.cache/mickey_tpu/dinov2_vitl14_pretrain.pth``;
+      5. if ``download``, fetch the official release into the cache dir.
+
+    Returns the resolved path, or None when unavailable (e.g. zero-egress
+    environments) — callers fall back to random init with a warning rather
+    than failing, so the pipeline stays runnable without the 1.2 GB file.
+    """
+    candidates = [
+        path,
+        os.environ.get("MICKEY_DINOV2_PATH"),
+        os.path.join("weights", "dinov2_vitl14_pretrain.pth"),
+        os.path.expanduser("~/.cache/mickey_tpu/dinov2_vitl14_pretrain.pth"),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    if not download or os.environ.get("MICKEY_NO_DOWNLOAD"):
+        return None
+    if _DOWNLOAD_FAILED:  # don't re-pay the network timeout every init
+        return None
+    target = os.path.expanduser("~/.cache/mickey_tpu/dinov2_vitl14_pretrain.pth")
+    try:
+        import shutil
+        import urllib.request
+
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = target + ".part"
+        with urllib.request.urlopen(_DINOV2_URL, timeout=15) as r, open(tmp, "wb") as f:
+            shutil.copyfileobj(r, f)
+        os.replace(tmp, target)
+        return target
+    except Exception as e:  # no network / blocked egress
+        import logging
+
+        _DOWNLOAD_FAILED.append(True)
+        logging.getLogger(__name__).warning(
+            "DINOv2 weights not found locally and download failed (%s: %s); "
+            "set MICKEY_DINOV2_PATH or pass --dinov2. Falling back to random "
+            "backbone init.", type(e).__name__, e,
+        )
+        return None
+
+
+_DOWNLOAD_FAILED: list = []
+
+
 # -- native (orbax) checkpoints ----------------------------------------------------
 
 

@@ -19,6 +19,8 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# never attempt the DINOv2 weight download inside tests (zero-egress CI)
+os.environ.setdefault("MICKEY_NO_DOWNLOAD", "1")
 
 import jax  # noqa: E402
 

@@ -198,3 +198,30 @@ class TestFitLoop:
         assert trainer.global_step >= 1
         assert (out_dir / "last").exists()
         assert trainer.topk == 35.0  # curriculum advanced once
+
+
+class TestDinov2Bootstrap:
+    """resolve_dinov2_weights mirrors the reference's auto-download bootstrap
+    (mickey_extractor.py:14-17) with graceful zero-egress fallback."""
+
+    def test_explicit_path_wins(self, tmp_path):
+        from mickey_tpu.training.checkpoint import resolve_dinov2_weights
+
+        f = tmp_path / "dinov2_vitl14_pretrain.pth"
+        f.write_bytes(b"stub")
+        assert resolve_dinov2_weights(str(f), download=False) == str(f)
+
+    def test_env_var_resolution(self, tmp_path, monkeypatch):
+        from mickey_tpu.training.checkpoint import resolve_dinov2_weights
+
+        f = tmp_path / "w.pth"
+        f.write_bytes(b"stub")
+        monkeypatch.setenv("MICKEY_DINOV2_PATH", str(f))
+        assert resolve_dinov2_weights(download=False) == str(f)
+
+    def test_missing_returns_none_without_network(self, monkeypatch):
+        from mickey_tpu.training.checkpoint import resolve_dinov2_weights
+
+        monkeypatch.delenv("MICKEY_DINOV2_PATH", raising=False)
+        monkeypatch.setenv("MICKEY_NO_DOWNLOAD", "1")
+        assert resolve_dinov2_weights(download=True) is None
