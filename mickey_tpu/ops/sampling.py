@@ -48,6 +48,12 @@ def gumbel_topk_sample(
         idx = jnp.stack(idxs, axis=-1)
     elif approx:
         _, idx = jax.lax.approx_max_k(perturbed, k)
+    elif 4 * k >= perturbed.shape[-1]:
+        # Large-k path: lax.top_k with k in the thousands is pathologically
+        # slow on TPU; a full descending argsort + slice returns the exact
+        # same index set ~2x faster when k is a sizable fraction of N
+        # (measured 18 vs 9 ms at (160, 4096) -> 2048, tools/bench_topk.py).
+        idx = jnp.argsort(-perturbed, axis=-1)[..., :k]
     else:
         _, idx = jax.lax.top_k(perturbed, k)
     return idx.astype(jnp.int32)
