@@ -144,11 +144,14 @@ def metric_pose_loss(
             logw = jnp.where(matches > 0, jnp.log(jnp.maximum(matches, 1e-30)), _NEG_INF)
             remap = None
 
-        def samp(_, k):
-            return None, gumbel_topk_sample(k, logw, S)
-
-        _, idx_scan = jax.lax.scan(samp, None, jax.random.split(key_outer, it))
-        idx = jnp.swapaxes(idx_scan, 0, 1)  # (B, it, S)
+        # ALL it outer draws in ONE batched Gumbel top-k (statistically
+        # identical: Gumbel noise is iid across draws either way). The
+        # sequential per-draw scan was the training forward's dominant cost
+        # (~20 sequential top_k kernels; same fix as the inference solver,
+        # BENCHLOG round 2).
+        logw_all = jnp.broadcast_to(logw[None], (it,) + logw.shape)
+        idx_scan = gumbel_topk_sample(key_outer, logw_all, S)  # (it, B, S)
+        idx = jnp.moveaxis(idx_scan, 0, 1)  # (B, it, S)
         if remap is not None:
             idx = jnp.take_along_axis(remap, idx.reshape(B, it * S), axis=1).reshape(B, it, S)
         ridx = None

@@ -19,7 +19,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    rows, n, k = 160, 4096, 2048  # it_matches*B draws over the prefilter set
+    import sys
+    rows, n, k = 160, 4096, int(sys.argv[1]) if len(sys.argv) > 1 else 2048  # it_matches*B draws over the prefilter set
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(rows, n)).astype(np.float32))
 
