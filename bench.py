@@ -31,6 +31,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -39,9 +40,13 @@ A100_REFERENCE_PAIRS_PER_SEC = 22.0  # derived; see BASELINE.md round-2 section
 TARGET_MULTIPLIER = 5.0
 POD_CHIPS = 8  # the north-star target is defined on a v5e-8 pod
 
-BATCH = 8
+BATCH = int(os.environ.get("MICKEY_BENCH_BATCH", 8))
 H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
-ITERS = 10
+ITERS = int(os.environ.get("MICKEY_BENCH_ITERS", 10))
+# Double-buffered serving (the cli/submission.py predict loop): batch i+1 is
+# dispatched before batch i's scalar is fetched, so the tunnel RTT overlaps
+# device compute. Every result is still host-fetched and finiteness-checked.
+PIPELINED = os.environ.get("MICKEY_BENCH_PIPELINED", "0") == "1"
 
 
 def main():
@@ -93,10 +98,24 @@ def main():
             print(f"# warmup attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
             time.sleep(10)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        v = float(one_pass(im0, im1, jax.random.fold_in(key, i), jnp.float32(1e-9 * (i + 1))))
-    dt = (time.perf_counter() - t0) / ITERS
+    def args_for(i):
+        return im0, im1, jax.random.fold_in(key, i), jnp.float32(1e-9 * (i + 1))
+
+    if PIPELINED:
+        t0 = time.perf_counter()
+        pending = one_pass(*args_for(0))
+        for i in range(1, ITERS):
+            nxt = one_pass(*args_for(i))  # dispatch i while fetching i-1
+            v = float(pending)
+            assert np.isfinite(v)
+            pending = nxt
+        v = float(pending)
+        dt = (time.perf_counter() - t0) / ITERS
+    else:
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            v = float(one_pass(*args_for(i)))
+        dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(v)
 
     pairs_per_sec = BATCH / dt

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..evaluation.pose_io import precision_recall
-from ..parallel import batch_sharding, get_mesh, pad_batch, replicate
+from ..parallel import batch_sharding, get_mesh, mesh_tp, pad_batch, replicate, shard_backbone
 from ..training.checkpoint import restore_checkpoint, save_checkpoint
 from ..training.train_step import init_train_state, make_train_step, make_val_step
 from ..nn.extractor import model_init
@@ -48,10 +48,12 @@ class MicKeyTrainer:
                 params["dinov2"] = convert_dinov2_state_dict(dsd)
         state, backbone = init_train_state(cfg, params)
         self.state = replicate(self.mesh, state)
-        self.backbone = replicate(self.mesh, backbone)
+        # tensor-parallel backbone placement when the mesh has a 'model' axis
+        self.backbone = shard_backbone(self.mesh, backbone)
 
-        self.train_step = make_train_step(cfg)
-        self.val_step = make_val_step(cfg)
+        tp_mesh = self.mesh if mesh_tp(self.mesh) > 1 else None
+        self.train_step = make_train_step(cfg, mesh=tp_mesh)
+        self.val_step = make_val_step(cfg, mesh=tp_mesh)
         self.key = jax.random.PRNGKey(seed + 1)
 
         # curriculum (reference model.py:37-40)

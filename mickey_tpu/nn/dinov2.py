@@ -172,26 +172,57 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, h0: int, w0: int) -> jnp.nd
 
 
 def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num_heads: int,
-                 attn_blocks=(256, 512)):
-    """One pre-norm ViT block with LayerScale. x: (B, S, C)."""
+                 attn_blocks=(256, 512), mesh=None):
+    """One pre-norm ViT block with LayerScale. x: (B, S, C).
+
+    With a (data, model) mesh the block runs Megatron tensor-parallel: heads
+    and MLP hidden features are sharded over 'model' (pinned with sharding
+    constraints so GSPMD keeps the column/row pattern of
+    parallel.vit_tp_shardings), and the attention kernel is shard_mapped so
+    each device runs flash attention over its LOCAL heads — a Pallas call
+    cannot be partitioned by GSPMD itself.
+    """
+    from ..parallel import DATA_AXIS, MODEL_AXIS, mesh_tp
+
     b, s, c = x.shape
     d = c // num_heads
+    tp = mesh_tp(mesh)
+    if num_heads % tp != 0:
+        raise ValueError(
+            f"tensor-parallel size {tp} must divide num_heads={num_heads}"
+        )
+
+    def pin(t, *spec):
+        if tp == 1:
+            return t
+        return jax.lax.with_sharding_constraint(
+            t, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(*spec))
+        )
 
     h = layernorm(bp["norm1"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
-    qkv = linear(bp["attn"]["qkv"], h)  # (B, S, 3C)
-    qkv = qkv.reshape(b, s, 3, num_heads, d)
+    qkv = linear(bp["attn"]["qkv"], h)  # (B, S, 3C) — column-parallel
+    qkv = pin(qkv.reshape(b, s, 3, num_heads, d), DATA_AXIS, None, None, MODEL_AXIS, None)
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
-    attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas, blocks=attn_blocks)
+    if tp > 1:
+        hspec = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
+        attn = jax.shard_map(
+            functools.partial(
+                multi_head_attention, seq_len=seq_len, use_pallas=use_pallas, blocks=attn_blocks
+            ),
+            mesh=mesh, in_specs=(hspec, hspec, hspec), out_specs=hspec, check_vma=False,
+        )(q, k, v)
+    else:
+        attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas, blocks=attn_blocks)
     attn = jnp.moveaxis(attn, 1, 2).reshape(b, s, c)
-    attn = linear(bp["attn"]["proj"], attn)
+    attn = pin(linear(bp["attn"]["proj"], attn), DATA_AXIS, None, None)  # row-parallel
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * attn
 
     h = layernorm(bp["norm2"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
     if "fc1" in bp["mlp"]:
-        h = linear(bp["mlp"]["fc1"], h)
+        h = pin(linear(bp["mlp"]["fc1"], h), DATA_AXIS, None, MODEL_AXIS)
         h = jax.nn.gelu(h, approximate=False)
-        h = linear(bp["mlp"]["fc2"], h)
-    else:  # SwiGLU FFN (swiglu_ffn.py:29-33)
+        h = pin(linear(bp["mlp"]["fc2"], h), DATA_AXIS, None, None)
+    else:  # SwiGLU FFN (swiglu_ffn.py:29-33) — replicated under tp
         h12 = linear(bp["mlp"]["w12"], h)
         h1, h2 = jnp.split(h12, 2, axis=-1)
         h = linear(bp["mlp"]["w3"], jax.nn.silu(h1) * h2)
@@ -209,6 +240,7 @@ def vit_forward_features(
     pad_to: int = 512,
     attn_blocks=(256, 512),
     scan_unroll: int = 1,
+    mesh=None,
 ) -> jnp.ndarray:
     """Frozen-backbone feature extraction.
 
@@ -243,7 +275,7 @@ def vit_forward_features(
             x = jnp.pad(x, ((0, 0), (0, padded - seq_len), (0, 0)))
 
     def body(carry, bp):
-        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks), None
+        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks, mesh), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=scan_unroll)
 
@@ -253,7 +285,7 @@ def vit_forward_features(
 
 
 def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True, num_heads=16, patch_size=14,
-                     attn_blocks=(256, 512), scan_unroll=1):
+                     attn_blocks=(256, 512), scan_unroll=1, mesh=None):
     """Patch tokens reshaped to a (B, H/14, W/14, C) feature map (fp32).
 
     The frozen-backbone boundary: output is wrapped in stop_gradient, the
@@ -265,7 +297,7 @@ def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True,
     toks = vit_forward_features(
         params, images_nhwc, patch_size=patch_size, num_heads=num_heads,
         dtype=dtype, use_pallas=use_pallas, attn_blocks=attn_blocks,
-        scan_unroll=scan_unroll,
+        scan_unroll=scan_unroll, mesh=mesh,
     )
     fmap = toks.reshape(b, h // patch_size, w // patch_size, -1)
     return jax.lax.stop_gradient(fmap)

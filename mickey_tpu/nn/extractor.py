@@ -50,7 +50,7 @@ def model_init(key: jax.Array, cfg, include_backbone: bool = True) -> Params:
     return p
 
 
-def backbone_features(params: Params, images: jnp.ndarray, cfg) -> jnp.ndarray:
+def backbone_features(params: Params, images: jnp.ndarray, cfg, mesh=None) -> jnp.ndarray:
     """Frozen DINOv2 feature map (B, H/df, W/df, C), fp32, stop-gradient."""
     mk = cfg.MICKEY
     df = mk.DINOV2.DOWN_FACTOR
@@ -66,6 +66,7 @@ def backbone_features(params: Params, images: jnp.ndarray, cfg) -> jnp.ndarray:
         patch_size=df,
         attn_blocks=tuple(cfg.TPU.get("ATTENTION_BLOCKS", (256, 512))),
         scan_unroll=int(cfg.TPU.get("SCAN_UNROLL", 1)),
+        mesh=mesh,
     )
 
 
@@ -82,7 +83,7 @@ def heads_apply(
 
 
 def extract_features(
-    params: Params, images: jnp.ndarray, cfg, train: bool = False, axis_name=None
+    params: Params, images: jnp.ndarray, cfg, train: bool = False, axis_name=None, mesh=None
 ) -> Tuple[Tuple[jnp.ndarray, ...], Params]:
     """images: (B, H, W, 3) in [0, 1]; H, W multiples of DOWN_FACTOR.
 
@@ -91,7 +92,7 @@ def extract_features(
     multiples of 14 at runtime (mickey_extractor.py:46); we require it
     statically (XLA static shapes) — the data pipeline guarantees it.
     """
-    fmap = backbone_features(params, images, cfg)
+    fmap = backbone_features(params, images, cfg, mesh=mesh)
     return heads_apply(params, fmap, cfg, train=train, axis_name=axis_name)
 
 
@@ -150,6 +151,7 @@ def compute_correspondences(
     cfg,
     train: bool = False,
     axis_name=None,
+    mesh=None,
 ) -> Tuple[Correspondences, Params]:
     """Run the extractor on both images and build the match matrices.
 
@@ -165,7 +167,7 @@ def compute_correspondences(
     b = image0.shape[0]
     stacked = jnp.concatenate([image0, image1], axis=0)
     (kpts, depths, scores, descs), new_params = extract_features(
-        params, stacked, cfg, train=train, axis_name=axis_name
+        params, stacked, cfg, train=train, axis_name=axis_name, mesh=mesh
     )
     kpts = absolute_kpt_coordinates(kpts, df)
     (k0, k1), (d0, d1), (s0, s1), (c0, c1) = (

@@ -82,15 +82,17 @@ def _copy_bn_stats(dst: Params, src: Params) -> Params:
     return rec(dst, src)
 
 
-def make_train_step(cfg):
-    """Build the jitted train step. Closes over static config."""
+def make_train_step(cfg, mesh=None):
+    """Build the jitted train step. Closes over static config (and, for a
+    (data, model) mesh, the tensor-parallel backbone sharding — see
+    parallel.vit_tp_shardings)."""
     lc = LossConfig.from_cfg(cfg)
     optimizer = make_optimizer(cfg)
 
     def loss_fn(trainable, backbone, batch, key, topk_pct):
         params = dict(trainable, dinov2=backbone)
         corr, new_params = compute_correspondences(
-            params, batch["image0"], batch["image1"], cfg, train=True
+            params, batch["image0"], batch["image1"], cfg, train=True, mesh=mesh
         )
         final_scores = corr.scores * corr.kp_scores
         Rgt = batch["T_0to1"][:, :3, :3]
@@ -138,7 +140,7 @@ def make_train_step(cfg):
     return train_step
 
 
-def make_val_step(cfg):
+def make_val_step(cfg, mesh=None):
     """Validation: eval-mode forward + loss metrics + full inference solver +
     pose/VCRE errors (reference validation_step, model.py:66-89)."""
     from ..metrics.pose_metrics import pose_error, vcre
@@ -150,7 +152,7 @@ def make_val_step(cfg):
     def val_step(trainable, backbone, batch, key):
         params = dict(trainable, dinov2=backbone)
         corr, _ = compute_correspondences(
-            params, batch["image0"], batch["image1"], cfg, train=False
+            params, batch["image0"], batch["image1"], cfg, train=False, mesh=mesh
         )
         final_scores = corr.scores * corr.kp_scores
         Rgt = batch["T_0to1"][:, :3, :3]
