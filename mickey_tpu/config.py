@@ -247,9 +247,11 @@ def default_config() -> Config:
                 # lax.scan unroll over the 24 ViT blocks (2 measured best:
                 # 344 -> 336 ms/batch-8, tools/bench_backbone_blocks.py)
                 "SCAN_UNROLL": 2,
-                # fused correlation+dustbin+dual-softmax kernel (forward-only;
-                # used at inference, XLA path during training for autodiff)
+                # fused correlation+dustbin+dual-softmax kernel: couplings
+                # never materialize in HBM (forward at inference; training
+                # additionally needs the analytic custom-VJP variant below)
                 "USE_PALLAS_MATCHER": True,
+                "USE_PALLAS_MATCHER_GRAD": True,
                 "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
             },

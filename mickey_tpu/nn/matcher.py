@@ -91,22 +91,20 @@ def match_scores(
 ) -> jnp.ndarray:
     if cfg.FEATURE_MATCHER.TYPE == "DualSoftmax":
         fm = cfg.FEATURE_MATCHER.DUAL_SOFTMAX
-        if (
-            allow_fused
-            and cfg.TPU.get("USE_PALLAS_MATCHER", True)
-            and jax.default_backend() != "cpu"
-        ):
-            # forward-only Pallas fusion: couplings never materialize in HBM
-            from ..ops.fused_matcher import fused_dual_softmax
-
+        if cfg.TPU.get("USE_PALLAS_MATCHER", True) and jax.default_backend() != "cpu":
+            # Pallas fusion: couplings never materialize in HBM. Inference
+            # (allow_fused) takes the forward-only kernel; training takes the
+            # analytic-VJP variant so the backward streams through VMEM too.
             dustbin = params.get("dustbin_score", jnp.float32(0.0))
-            return fused_dual_softmax(
-                dsc0,
-                dsc1,
-                dustbin,
-                temperature=float(fm.TEMPERATURE),
-                use_dustbin=bool(fm.USE_DUSTBIN),
-            )
+            kw = dict(temperature=float(fm.TEMPERATURE), use_dustbin=bool(fm.USE_DUSTBIN))
+            if allow_fused:
+                from ..ops.fused_matcher import fused_dual_softmax
+
+                return fused_dual_softmax(dsc0, dsc1, dustbin, **kw)
+            if cfg.TPU.get("USE_PALLAS_MATCHER_GRAD", True):
+                from ..ops.fused_matcher import fused_dual_softmax_vjp
+
+                return fused_dual_softmax_vjp(dsc0, dsc1, dustbin, **kw)
         return dual_softmax(params, dsc0, dsc1, cfg)
     return sinkhorn(params, dsc0, dsc1, cfg)
 

@@ -17,8 +17,22 @@ the correlation through VMEM twice and writes the final product ONCE:
 
 Correlation FLOPs are paid twice (~2 x M*N*C ~ 1 GFLOP/pair — noise next to
 the 26 TFLOP backbone) to avoid ~3 extra HBM round-trips of the coupling
-matrix. Forward-only: training uses the XLA path (autodiff), inference the
-kernel; behavioral spec: reference ``feature_matcher.py:54-83``.
+matrix. Behavioral spec: reference ``feature_matcher.py:54-83``.
+
+``fused_dual_softmax`` is forward-only (inference). ``fused_dual_softmax_vjp``
+adds an analytic custom VJP so TRAINING can use the kernel too: with
+A = softmax(axis=rows), B = softmax(axis=cols), P = A*B and upstream
+cotangent G (zero on the dustbin row/col, which are cropped),
+
+    dS = 2*P*G - A*colsum(G*P) - B*rowsum(G*P)
+    d dsc0 = dS @ dsc1 / T,   d dsc1 = dS^T @ dsc0 / T
+    d alpha = -sum_j exp(a - lse_col_j) c_j - sum_i exp(a - lse_row_i) r_i
+
+(the dustbin entries of dS reduce to the closed forms above because G and
+therefore c, r vanish on them). The backward recomputes the correlation in
+two more streaming passes using the saved row/column logsumexps — the
+coupling matrix never hits HBM in either direction. Formula validated
+against jax.grad of the dense path (tests/test_fused_matcher.py).
 """
 
 from __future__ import annotations
@@ -74,10 +88,13 @@ def _col_stats_kernel(
 
 
 def _pair_softmax_kernel(
-    dsc0_ref, dsc1_ref, lse_col_ref, alpha_ref, out_ref, *, inv_temp: float, n_valid: int
+    dsc0_ref, dsc1_ref, lse_col_ref, alpha_ref, out_ref, lse_row_ref,
+    *, inv_temp: float, n_valid: int
 ):
     """softmax(axis=1) * softmax(axis=2) of the implicit couplings, cropped."""
+    m_i = pl.program_id(1)
     s = _corr_block(dsc0_ref, dsc1_ref, inv_temp)
+    block_m = s.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, _NEG_INF)
 
@@ -90,42 +107,43 @@ def _pair_softmax_kernel(
     lse_col = lse_col_ref[0, 0]  # (N_pad,) — dustbin-augmented by the caller
     # softmax(axis=1) * softmax(axis=2) = exp(s - lse_col) * exp(s - lse_row)
     out_ref[0] = jnp.exp(s - lse_row[:, None]) * jnp.exp(s - lse_col[None, :])
+    # lse_row lives as a (1, M_pad) row (TPU block tiling: a (1, block_m)
+    # block would violate the (8, 128) minimum); each m-block writes its slice
+    lse_row_ref[0, 0, pl.ds(m_i * block_m, block_m)] = lse_row
 
 
-@functools.partial(
-    jax.jit, static_argnames=("temperature", "use_dustbin", "block_m", "interpret")
-)
-def fused_dual_softmax(
-    dsc0: jnp.ndarray,  # (B, M, C) L2-normalized descriptors
-    dsc1: jnp.ndarray,  # (B, N, C)
-    dustbin: jnp.ndarray,  # scalar dustbin logit (ignored if not use_dustbin)
-    temperature: float = 0.1,
-    use_dustbin: bool = True,
-    block_m: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """(B, M, N) dual-softmax match scores, couplings never materialized."""
+def _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m):
     B, M, C = dsc0.shape
     N = dsc1.shape[1]
     M_pad = _round_up(M, block_m)
     N_pad = _round_up(N, 128)
     C_pad = _round_up(C, 128)
-
     d0 = jnp.zeros((B, M_pad, C_pad), dsc0.dtype).at[:, :M, :C].set(dsc0)
     d1 = jnp.zeros((B, N_pad, C_pad), dsc1.dtype).at[:, :N, :C].set(dsc1)
     if use_dustbin:
         alpha = jnp.asarray(dustbin, jnp.float32).reshape(1, 1)
     else:
         alpha = jnp.full((1, 1), _NEG_INF, jnp.float32)
-    inv_temp = float(1.0 / temperature)
-    m_tiles = M_pad // block_m
+    return d0, d1, alpha
 
+
+def _specs(block_m, N_pad, C_pad):
     d0_spec = pl.BlockSpec(
         (1, block_m, C_pad), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
     )
     d1_spec = pl.BlockSpec(
         (1, N_pad, C_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM
     )
+    return d0_spec, d1_spec
+
+
+def _forward_padded(d0, d1, alpha, inv_temp, M, N, block_m, interpret):
+    """Padded-space forward. Returns (out (B, M_pad, N_pad), lse_row
+    (B, M_pad), lse_col (B, 1, N_pad)); callers crop."""
+    B, M_pad, C_pad = d0.shape
+    N_pad = d1.shape[1]
+    m_tiles = M_pad // block_m
+    d0_spec, d1_spec = _specs(block_m, N_pad, C_pad)
 
     stats = pl.pallas_call(
         functools.partial(
@@ -144,7 +162,7 @@ def fused_dual_softmax(
     lse_col = jnp.log(stats[:, 1, :]) + stats[:, 0, :]
     lse_col = jnp.logaddexp(lse_col, alpha[0, 0])[:, None, :]  # (B, 1, N_pad)
 
-    out = pl.pallas_call(
+    out, lse_row = pl.pallas_call(
         functools.partial(_pair_softmax_kernel, inv_temp=inv_temp, n_valid=N),
         grid=(B, m_tiles),
         in_specs=[
@@ -153,11 +171,210 @@ def fused_dual_softmax(
             pl.BlockSpec((1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, m: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_m, N_pad), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, M_pad, N_pad), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(
+                (1, block_m, N_pad), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M_pad, N_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M_pad), jnp.float32),
+        ],
         interpret=interpret,
     )(d0, d1, lse_col, alpha)
+    return out, lse_row, lse_col
 
+
+@functools.partial(
+    jax.jit, static_argnames=("temperature", "use_dustbin", "block_m", "interpret")
+)
+def fused_dual_softmax(
+    dsc0: jnp.ndarray,  # (B, M, C) L2-normalized descriptors
+    dsc1: jnp.ndarray,  # (B, N, C)
+    dustbin: jnp.ndarray,  # scalar dustbin logit (ignored if not use_dustbin)
+    temperature: float = 0.1,
+    use_dustbin: bool = True,
+    block_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, M, N) dual-softmax match scores, couplings never materialized.
+
+    Forward-only (inference). For the differentiable variant see
+    ``fused_dual_softmax_vjp``.
+    """
+    M, N = dsc0.shape[1], dsc1.shape[1]
+    d0, d1, alpha = _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m)
+    out, _, _ = _forward_padded(
+        d0, d1, alpha, float(1.0 / temperature), M, N, block_m, interpret
+    )
     return out[:, :M, :N]
+
+
+# -- backward ------------------------------------------------------------------
+
+
+def _bwd_sums_kernel(
+    dsc0_ref, dsc1_ref, g_ref, lse_row_ref, lse_col_ref, r_ref, c_ref,
+    *, inv_temp: float, n_valid: int,
+):
+    """r = rowsum(G*P) per block; c = colsum(G*P) accumulated over M-blocks."""
+    m_i = pl.program_id(1)
+    s = _corr_block(dsc0_ref, dsc1_ref, inv_temp)
+    block_m = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    lse_row = lse_row_ref[0, 0, pl.ds(m_i * block_m, block_m)]  # (block_m,)
+    lse_col = lse_col_ref[0, 0]  # (N_pad,)
+    gp = g_ref[0] * jnp.exp(2.0 * s - lse_row[:, None] - lse_col[None, :])
+    r_ref[0, 0, pl.ds(m_i * block_m, block_m)] = jnp.sum(gp, axis=1)
+
+    @pl.when(m_i == 0)
+    def _():
+        c_ref[0, 0, :] = jnp.zeros((s.shape[1],), jnp.float32)
+
+    c_ref[0, 0, :] += jnp.sum(gp, axis=0)
+
+
+def _bwd_grads_kernel(
+    dsc0_ref, dsc1_ref, g_ref, lse_row_ref, lse_col_ref, r_ref, c_ref,
+    dd0_ref, dd1_ref,
+    *, inv_temp: float, n_valid: int,
+):
+    """dS = 2*P*G - A*c - B*r; dd0 block = dS @ d1; dd1 += dS^T @ d0."""
+    m_i = pl.program_id(1)
+    s = _corr_block(dsc0_ref, dsc1_ref, inv_temp)
+    block_m = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    lse_row = lse_row_ref[0, 0, pl.ds(m_i * block_m, block_m)][:, None]
+    lse_col = lse_col_ref[0, 0][None, :]
+    A = jnp.exp(s - lse_col)  # column softmax
+    Bm = jnp.exp(s - lse_row)  # row softmax
+    G = g_ref[0]
+    r = r_ref[0, 0, pl.ds(m_i * block_m, block_m)][:, None]
+    dS = 2.0 * (A * Bm) * G - A * c_ref[0, 0][None, :] - Bm * r
+    d1 = dsc1_ref[0].astype(jnp.float32)
+    d0 = dsc0_ref[0].astype(jnp.float32)
+    dd0_ref[0] = (
+        jax.lax.dot_general(dS, d1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * inv_temp
+    )
+
+    @pl.when(m_i == 0)
+    def _():
+        dd1_ref[0] = jnp.zeros_like(dd1_ref[0])
+
+    dd1_ref[0] += (
+        jax.lax.dot_general(dS, d0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        * inv_temp
+    )
+
+
+def _make_vjp(temperature: float, use_dustbin: bool, block_m: int, interpret: bool):
+    inv_temp = float(1.0 / temperature)
+
+    @jax.custom_vjp
+    def f(dsc0, dsc1, dustbin):
+        return fused_dual_softmax(
+            dsc0, dsc1, dustbin, temperature=temperature,
+            use_dustbin=use_dustbin, block_m=block_m, interpret=interpret,
+        )
+
+    def fwd(dsc0, dsc1, dustbin):
+        M, N = dsc0.shape[1], dsc1.shape[1]
+        d0, d1, alpha = _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m)
+        out, lse_row, lse_col = _forward_padded(
+            d0, d1, alpha, inv_temp, M, N, block_m, interpret
+        )
+        return out[:, :M, :N], (dsc0, dsc1, alpha, lse_row, lse_col)
+
+    def bwd(res, g):
+        dsc0, dsc1, alpha, lse_row, lse_col = res
+        B, M, C = dsc0.shape
+        N = dsc1.shape[1]
+        d0, d1, _ = _pad_inputs(dsc0, dsc1, alpha, True, block_m)
+        M_pad, N_pad, C_pad = d0.shape[1], d1.shape[1], d0.shape[2]
+        m_tiles = M_pad // block_m
+        gp = jnp.zeros((B, M_pad, N_pad), jnp.float32).at[:, :M, :N].set(g)
+
+        d0_spec, d1_spec = _specs(block_m, N_pad, C_pad)
+        g_spec = pl.BlockSpec(
+            (1, block_m, N_pad), lambda b, m: (b, m, 0), memory_space=pltpu.VMEM
+        )
+        # lse_row / r ride as full (1, M_pad) rows; kernels slice their block
+        lse_row_spec = pl.BlockSpec(
+            (1, 1, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        lse_col_spec = pl.BlockSpec(
+            (1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+
+        r, c = pl.pallas_call(
+            functools.partial(_bwd_sums_kernel, inv_temp=inv_temp, n_valid=N),
+            grid=(B, m_tiles),
+            in_specs=[d0_spec, d1_spec, g_spec, lse_row_spec, lse_col_spec],
+            out_specs=[
+                lse_row_spec,
+                pl.BlockSpec((1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1, M_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1, N_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(d0, d1, gp, lse_row, lse_col)
+
+        dd0, dd1 = pl.pallas_call(
+            functools.partial(_bwd_grads_kernel, inv_temp=inv_temp, n_valid=N),
+            grid=(B, m_tiles),
+            in_specs=[
+                d0_spec, d1_spec, g_spec, lse_row_spec, lse_col_spec,
+                lse_row_spec,  # r has the same layout as lse_row
+                pl.BlockSpec((1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                d0_spec,
+                pl.BlockSpec((1, N_pad, C_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, M_pad, C_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, N_pad, C_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(d0, d1, gp, lse_row, lse_col, r, c)
+
+        if use_dustbin:
+            a = alpha[0, 0]
+            # closed-form dustbin row/col contributions (G vanishes there)
+            da = -jnp.sum(jnp.exp(a - lse_col[:, 0, :N]) * c[:, 0, :N]) - jnp.sum(
+                jnp.exp(a - lse_row[:, 0, :M]) * r[:, 0, :M]
+            )
+            dalpha = da.astype(jnp.float32)
+        else:
+            dalpha = jnp.zeros((), jnp.float32)
+        return (
+            dd0[:, :M, :C].astype(dsc0.dtype),
+            dd1[:, :N, :C].astype(dsc1.dtype),
+            dalpha,
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=16)
+def _vjp_cache(temperature, use_dustbin, block_m, interpret):
+    return _make_vjp(temperature, use_dustbin, block_m, interpret)
+
+
+def fused_dual_softmax_vjp(
+    dsc0, dsc1, dustbin, temperature: float = 0.1, use_dustbin: bool = True,
+    block_m: int = 256, interpret: bool = False,
+):
+    """Differentiable fused dual-softmax: Pallas forward AND analytic Pallas
+    backward (module docstring). Gradients flow to dsc0, dsc1 and the dustbin
+    logit — the full set the training loss needs (reference
+    feature_matcher.py:54-83 under autograd)."""
+    f = _vjp_cache(float(temperature), bool(use_dustbin), int(block_m), bool(interpret))
+    return f(dsc0, dsc1, jnp.asarray(dustbin, jnp.float32))

@@ -53,6 +53,54 @@ def test_fused_matches_xla(rng, use_dustbin, shape):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.parametrize("use_dustbin", [True, False])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 20, 20, 16),  # tiny, unaligned
+        (1, 300, 260, 128),  # multi-tile M, unaligned M/N, production C
+    ],
+)
+def test_fused_vjp_matches_xla_grads(rng, use_dustbin, shape):
+    """Analytic Pallas backward == jax.grad of the dense XLA dual-softmax,
+    for dsc0, dsc1 AND the dustbin logit."""
+    from mickey_tpu.ops.fused_matcher import fused_dual_softmax_vjp
+
+    b, m, n, c = shape
+    dsc0 = _descs(rng, b, m, c)
+    dsc1 = _descs(rng, b, n, c)
+    G = jnp.asarray(rng.normal(size=(b, m, n)).astype(np.float32))
+
+    cfg = default_config()
+    cfg.FEATURE_MATCHER.DUAL_SOFTMAX.USE_DUSTBIN = use_dustbin
+    dustbin = jnp.float32(0.7)
+    params = {"dustbin_score": dustbin} if use_dustbin else {}
+    temp = float(cfg.FEATURE_MATCHER.DUAL_SOFTMAX.TEMPERATURE)
+
+    def loss_ref(d0, d1, a):
+        p = dict(params)
+        if use_dustbin:
+            p["dustbin_score"] = a
+        return jnp.sum(dual_softmax(p, d0, d1, cfg) * G)
+
+    def loss_fused(d0, d1, a):
+        out = fused_dual_softmax_vjp(
+            d0, d1, a, temperature=temp, use_dustbin=use_dustbin,
+            block_m=128, interpret=True,
+        )
+        return jnp.sum(out * G)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(dsc0, dsc1, dustbin)
+    v_f, g_f = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(dsc0, dsc1, dustbin)
+    np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-5)
+    for a, b_ in zip(g_f[:2], g_ref[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
+    if use_dustbin:
+        np.testing.assert_allclose(float(g_f[2]), float(g_ref[2]), atol=2e-5, rtol=1e-4)
+    else:
+        assert float(g_f[2]) == 0.0
+
+
 def test_fused_probability_mass(rng):
     """Scores stay in (0, 1] and behave like the dual-softmax product."""
     dsc0 = _descs(rng, 1, 64, 32)
