@@ -25,10 +25,14 @@ solver, corroborated by a same-CPU structural measurement
 multinomial; ours is 11x faster on identical hardware). Central estimate:
 22 pairs/s/A100 (+-40%); full derivation in BASELINE.md. The north-star
 target is 5x A100 throughput on a v5e-8 POD (BASELINE.json; 5x per chip is
-physically impossible at 0.63x relative peak FLOPs). Pairs are
-embarrassingly parallel across chips (mesh-sharded predict is tested), so
-vs_baseline = (value * 8 chips) / (5 * 22.0) — >= 1.0 means the v5e-8 pod
-meets the 5x target.
+physically impossible at 0.63x relative peak FLOPs). vs_baseline =
+(value * 8 chips) / (5 * 22.0) — >= 1.0 means the v5e-8 pod meets the 5x
+target. The x8 is an ASSUMED linear scaling, not a pod measurement (one
+chip available): it is structurally justified — the mesh predict path
+shard_maps the whole per-pair program onto each chip with zero cross-chip
+communication (models/relative_pose.py::sharded_call, exercised on the
+virtual 8-device mesh) — but host-side IO or power limits could still shave
+a few percent on real hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

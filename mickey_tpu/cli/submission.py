@@ -89,17 +89,28 @@ def predict(loader, model, mesh=None, progress: bool = True):
             "K_color1": data["K_color1"],
         }
         arrays, real_b = pad_batch(arrays, max(n_devices, 1))
-        if mesh is not None:
-            arrays = shard_batch(mesh, arrays)
         step_key = jax.random.fold_in(key, step)
-        out = model(
-            jnp.asarray(arrays["image0"]),
-            jnp.asarray(arrays["image1"]),
-            jnp.asarray(arrays["K_color0"]),
-            jnp.asarray(arrays["K_color1"]),
-            key=step_key,
-            lite=True,  # poses only; skip materializing dense trunk outputs
-        )
+        if mesh is not None:
+            # shard_mapped per-chip programs (Pallas kernels can't be GSPMD-
+            # partitioned; see MickeyRelativePose.sharded_call)
+            arrays = shard_batch(mesh, arrays)
+            out = model.sharded_call(
+                mesh,
+                jnp.asarray(arrays["image0"]),
+                jnp.asarray(arrays["image1"]),
+                jnp.asarray(arrays["K_color0"]),
+                jnp.asarray(arrays["K_color1"]),
+                key=step_key,
+            )
+        else:
+            out = model(
+                jnp.asarray(arrays["image0"]),
+                jnp.asarray(arrays["image1"]),
+                jnp.asarray(arrays["K_color0"]),
+                jnp.asarray(arrays["K_color1"]),
+                key=step_key,
+                lite=True,  # poses only; skip materializing dense trunk outputs
+            )
         if in_flight is not None:
             drain(*in_flight)
         in_flight = (out, real_b, data)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -20,34 +21,43 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 
 _mod = None
+# loader prefetch workers race into ensure_built on first use; without the
+# lock several threads could run the g++ build of the same .so concurrently
+# and clobber each other's output
+_build_lock = threading.Lock()
 
 
 def ensure_built(auto_build: bool = True):
-    """Import (building if needed) the _mickey_io extension; None if unavailable."""
+    """Import (building if needed) the _mickey_io extension; None if unavailable.
+
+    Thread-safe: the whole import-or-build sequence runs under a module lock
+    (concurrent loader workers must not compile the same .so twice)."""
     global _mod
     if _mod is not None:
         return _mod
-    if _NATIVE_DIR not in sys.path:
-        sys.path.insert(0, _NATIVE_DIR)
-    try:
-        import _mickey_io  # type: ignore
+    with _build_lock:
+        if _mod is not None:
+            return _mod
+        if _NATIVE_DIR not in sys.path:
+            sys.path.insert(0, _NATIVE_DIR)
+        try:
+            import _mickey_io  # type: ignore
 
-        _mod = _mickey_io
-        return _mod
-    except ImportError:
-        if not auto_build:
+            _mod = _mickey_io
+            return _mod
+        except ImportError:
+            if not auto_build:
+                return None
+        try:
+            from build import build  # type: ignore
+
+            build(verbose=False)
+            import _mickey_io  # type: ignore
+
+            _mod = _mickey_io
+            return _mod
+        except Exception:
             return None
-    try:
-        sys.path.insert(0, _NATIVE_DIR)
-        from build import build  # type: ignore
-
-        build(verbose=False)
-        import _mickey_io  # type: ignore
-
-        _mod = _mickey_io
-        return _mod
-    except Exception:
-        return None
 
 
 def decode_resize_batch(

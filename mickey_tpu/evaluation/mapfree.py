@@ -27,7 +27,12 @@ from zipfile import ZipFile
 import numpy as np
 
 from .metrics import METRIC_NAMES, score_frames
-from .pose_io import parse_pose_table, precision_recall, read_intrinsics_table
+from .pose_io import (
+    lookup_intrinsics,
+    parse_pose_table,
+    precision_recall,
+    read_intrinsics_table,
+)
 
 # acceptance thresholds (reference benchmark/config.py)
 t_threshold = 0.25  # meters
@@ -71,8 +76,7 @@ def score_scene(dataset_path: Path, submission_zip: ZipFile, scene: str) -> Scen
     est_aligned = est.take(rows[present])
     gt_aligned = gt.take(np.flatnonzero(present))
 
-    k_rows = np.searchsorted(frames_K, gt_aligned.frame, sorter=np.argsort(frames_K))
-    K = K_all[np.argsort(frames_K)[k_rows]]
+    K = lookup_intrinsics(frames_K, K_all, gt_aligned.frame)
 
     metrics = score_frames(gt_aligned, est_aligned, K, W, H)
     return SceneScore(metrics, int((~present).sum()))

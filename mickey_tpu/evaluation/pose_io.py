@@ -122,7 +122,13 @@ def parse_pose_table(file, with_confidence: bool = False) -> PoseTable:
 
 
 def read_intrinsics_table(path: Path) -> Tuple[np.ndarray, np.ndarray, float, float]:
-    """intrinsics.txt -> (frame numbers (N,), K (N,3,3), W, H)."""
+    """intrinsics.txt -> (SORTED UNIQUE frame numbers (N,), K (N,3,3), W, H).
+
+    Scene files list both seq0 and seq1 frames, which share frame numbering;
+    the reference keys a dict on the frame number (``benchmark/utils.py:85-98``)
+    so the LAST occurrence — the seq1 query frame — wins. Reproduced here by
+    a keep-last dedup; W/H likewise come from the last line.
+    """
     frames, params = [], []
     with Path(path).open("r", encoding="utf-8") as f:
         for line in f.readlines():
@@ -138,7 +144,26 @@ def read_intrinsics_table(path: Path) -> Tuple[np.ndarray, np.ndarray, float, fl
     K[:, 0, 2], K[:, 1, 2] = params[:, 2], params[:, 3]
     K[:, 2, 2] = 1.0
     W, H = params[-1, 4], params[-1, 5]
-    return np.asarray(frames, dtype=np.int64), K, W, H
+    frames = np.asarray(frames, dtype=np.int64)
+    # keep-last dedup: unique() on the reversed array marks each frame's
+    # final occurrence; output is sorted by frame number
+    uniq, rev_idx = np.unique(frames[::-1], return_index=True)
+    return uniq, K[n - 1 - rev_idx], W, H
+
+
+def lookup_intrinsics(
+    frames_K: np.ndarray, K_all: np.ndarray, query_frames: np.ndarray
+) -> np.ndarray:
+    """Exact-match K lookup by frame number (frames_K sorted unique).
+
+    Raises KeyError for frames absent from intrinsics.txt — the reference's
+    dict access does the same (``benchmark/mapfree.py``); silently clipping
+    would score with a wrong camera."""
+    rows = np.searchsorted(frames_K, query_frames)
+    bad = (rows >= len(frames_K)) | (frames_K[np.minimum(rows, len(frames_K) - 1)] != query_frames)
+    if bad.any():
+        raise KeyError(f"no intrinsics for frames {np.asarray(query_frames)[bad][:5]}")
+    return K_all[rows]
 
 
 def quat_angle_error(label, pred, variant: str = VARIANTS_ANGLE_SIN) -> np.ndarray:

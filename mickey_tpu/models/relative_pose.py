@@ -53,6 +53,28 @@ class MickeyRelativePose:
             key = jax.random.PRNGKey(0)
         return self._apply(self.params, image0, image1, K0, K1, key, lite=lite)
 
+    def sharded_call(self, mesh, image0, image1, K0, K1, key=None):
+        """Data-parallel inference over a device mesh (lite output).
+
+        The FULL pipeline is shard_mapped over the 'data' axis: each chip
+        runs its own copy of the program — including the Pallas kernels — on
+        its local batch shard. A pallas_call cannot be partitioned by GSPMD,
+        so jitting the normal path over batch-sharded inputs would force the
+        partitioner to replicate those kernels instead of sharding them;
+        shard_map is the TPU-native serving layout (pairs are embarrassingly
+        parallel, reference submission.py:32-61 loops a single GPU).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        cfg_id = id(self.cfg)
+        _CFG_REGISTRY[cfg_id] = self.cfg
+        R, t, conf, valid = _sharded_forward(mesh, cfg_id)(
+            self.params, image0, image1, K0, K1, key
+        )
+        return RelativePoseOutput(
+            R=R, t=t, inliers=conf, valid=valid, estimate=None, corr=None
+        )
+
 
 # NOTE: inference runs as a PIPELINE of separately-compiled XLA programs
 # (backbone -> heads -> matcher -> solver) rather than one fused graph. The
@@ -119,6 +141,34 @@ def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
         )
     return RelativePoseOutput(
         R=est.R, t=est.t, inliers=est.confidence, valid=est.valid, estimate=est, corr=corr
+    )
+
+
+def _local_forward(params, image0, image1, K0, K1, key, cfg_id):
+    """Per-device forward for shard_map: the whole pipeline on a local shard."""
+    from ..nn.extractor import compute_correspondences
+
+    cfg = _CFG_REGISTRY[cfg_id]
+    corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
+    est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
+    return est.R, est.t, est.confidence, est.valid
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_forward(mesh, cfg_id):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS
+
+    bspec, rspec = P(DATA_AXIS), P()
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(_local_forward, cfg_id=cfg_id),
+            mesh=mesh,
+            in_specs=(rspec, bspec, bspec, bspec, bspec, rspec),
+            out_specs=(bspec, bspec, bspec, bspec),
+            check_vma=False,
+        )
     )
 
 

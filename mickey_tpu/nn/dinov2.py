@@ -201,8 +201,11 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
 
     h = layernorm(bp["norm1"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
     qkv = linear(bp["attn"]["qkv"], h)  # (B, S, 3C) — column-parallel
-    qkv = pin(qkv.reshape(b, s, 3, num_heads, d), DATA_AXIS, None, None, MODEL_AXIS, None)
-    q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
+    # the fused qkv weight stores its 3C output dim HEAD-MAJOR (h, t, d) —
+    # see checkpoint._qkv_to_head_major — so this reshape keeps contiguous
+    # column shards aligned with whole head groups under tensor parallelism
+    qkv = pin(qkv.reshape(b, s, num_heads, 3, d), DATA_AXIS, None, MODEL_AXIS, None, None)
+    q, k, v = (jnp.moveaxis(qkv[:, :, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
     if tp > 1:
         hspec = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
         attn = jax.shard_map(

@@ -54,9 +54,13 @@ def _round_up(x: int, m: int) -> int:
 def _corr_block(dsc0_ref, dsc1_ref, inv_temp: float) -> jnp.ndarray:
     d0 = dsc0_ref[0].astype(jnp.float32)  # (block_m, C)
     d1 = dsc1_ref[0].astype(jnp.float32)  # (N_pad, C)
+    # HIGHEST matches the dense path's precision (nn/matcher.py) — the MXU
+    # default would truncate the f32 descriptors to bf16, and the 1/T=10
+    # scaling amplifies that into ~0.04 logit error
     return (
         jax.lax.dot_general(
-            d0, d1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            d0, d1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
         )
         * inv_temp
     )
@@ -257,7 +261,9 @@ def _bwd_grads_kernel(
     d1 = dsc1_ref[0].astype(jnp.float32)
     d0 = dsc0_ref[0].astype(jnp.float32)
     dd0_ref[0] = (
-        jax.lax.dot_general(dS, d1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(dS, d1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         * inv_temp
     )
 
@@ -266,7 +272,9 @@ def _bwd_grads_kernel(
         dd1_ref[0] = jnp.zeros_like(dd1_ref[0])
 
     dd1_ref[0] += (
-        jax.lax.dot_general(dS, d0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(dS, d0, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         * inv_temp
     )
 

@@ -16,6 +16,8 @@ proposal sampling — documented deviation).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +59,36 @@ def gumbel_topk_sample(
     else:
         _, idx = jax.lax.top_k(perturbed, k)
     return idx.astype(jnp.int32)
+
+
+def gumbel_topk_sample_draws(
+    key: jax.Array,
+    log_weights: jnp.ndarray,
+    k: int,
+    draws: int,
+    approx: bool = False,
+    max_elems: int = 1 << 26,
+) -> jnp.ndarray:
+    """``draws`` independent Gumbel top-k samples: (draws, *batch, k) int32.
+
+    All draws run as ONE batched top-k (the fast path — lets XLA tile the
+    full (draws*batch, N) sort at once) when the perturbed tensor stays under
+    ``max_elems`` elements (default 64M ≈ 256 MB fp32). Above that — the
+    exact-sampling regime over the full ~3.7M-category match matrix with no
+    prefilter — it falls back to a lax.scan of per-draw samples so peak
+    memory stays at one (batch, N) noise tensor. The two paths draw from the
+    IDENTICAL distribution (Gumbel noise is iid across draws either way);
+    only the PRNG stream assignment differs.
+    """
+    if draws * math.prod(log_weights.shape) <= max_elems:
+        all_lw = jnp.broadcast_to(log_weights[None], (draws,) + log_weights.shape)
+        return gumbel_topk_sample(key, all_lw, k, approx=approx)
+
+    def step(_, kk):
+        return None, gumbel_topk_sample(kk, log_weights, k, approx=approx)
+
+    _, idx = jax.lax.scan(step, None, jax.random.split(key, draws))
+    return idx
 
 
 def weighted_sample_without_replacement(

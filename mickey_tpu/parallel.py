@@ -69,9 +69,13 @@ def vit_tp_shardings(mesh: Mesh, vit_params: Dict[str, Any]):
     lax.scan stack over layers): qkv and fc1 split the output features over
     'model' (column-parallel, biases sharded with them); proj and fc2 split
     the input features (row-parallel, partial sums all-reduced by XLA,
-    replicated bias added after). LayerNorms/LayerScale/patch-embed/pos-embed
-    are replicated. The SwiGLU variant keeps its fused w12 replicated (the
-    half-split crosses shard boundaries; MicKey's DINOv2 uses the plain MLP).
+    replicated bias added after). The fused qkv weight stores its 3C output
+    dim HEAD-MAJOR (checkpoint._qkv_to_head_major), so contiguous column
+    shards equal whole head groups and the (B, S, 3C) -> (B, S, H, 3, D)
+    reshape in nn/dinov2.py needs no resharding collective.
+    LayerNorms/LayerScale/patch-embed/pos-embed are replicated. The SwiGLU
+    variant keeps its fused w12 replicated (the half-split crosses shard
+    boundaries; MicKey's DINOv2 uses the plain MLP).
     """
     specs = jax.tree.map(lambda _: P(), vit_params)
     blocks = vit_params["blocks"]

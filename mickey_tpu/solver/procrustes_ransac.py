@@ -32,7 +32,7 @@ from ..geometry import (
     soft_inlier_counting_3d,
     weighted_procrustes,
 )
-from ..ops.sampling import gumbel_topk_sample
+from ..ops.sampling import gumbel_topk_sample, gumbel_topk_sample_draws
 
 _NEG_INF = -1e30
 
@@ -136,14 +136,13 @@ def estimate_pose(
     inner_keys = jax.random.split(k_inner_base, it_matches)
 
     # -- outer draws: ALL it_matches draws of num_samples candidates in ONE
-    # batched Gumbel top-k over a (it_matches, B, P) tensor. Inside the scan
-    # this was it_matches sequential top_k(P -> num_samples) kernels — the
-    # solver's dominant cost (BENCHLOG.md); one fused call lets XLA tile the
-    # full (it*B, P) sort at once. Statistically identical: Gumbel noise is
-    # iid across draws either way.
-    logw_all = jnp.broadcast_to(logw[None], (it_matches,) + logw.shape)
-    outer_idx = gumbel_topk_sample(
-        k_outer, logw_all, num_samples, approx=approx_sampling
+    # batched Gumbel top-k over a (it_matches, B, P) tensor — inside the scan
+    # this was it_matches sequential top_k(P -> num_samples) kernels, the
+    # solver's dominant cost (BENCHLOG.md). Falls back to per-draw sampling
+    # in the exact no-prefilter regime where the batched noise tensor would
+    # be (it, B, ~3.7M) fp32 (see ops/sampling.gumbel_topk_sample_draws).
+    outer_idx = gumbel_topk_sample_draws(
+        k_outer, logw, num_samples, it_matches, approx=approx_sampling
     )  # (it, B, S)
     if remap is not None:
         outer_idx = jnp.take_along_axis(

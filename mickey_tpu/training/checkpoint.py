@@ -45,16 +45,37 @@ def _vec(t) -> jnp.ndarray:
 # -- DINOv2 backbone -------------------------------------------------------------
 
 
+def _qkv_to_head_major(w: jnp.ndarray, b: jnp.ndarray, num_heads: int):
+    """Permute fused-qkv columns from torch's [q|k|v] (t-major) to the
+    head-major (h, t, d) layout nn/dinov2.py computes in — contiguous chunks
+    of the 3C output dim then equal whole head groups, so the tensor-parallel
+    column sharding (parallel.vit_tp_shardings) needs no resharding at the
+    (B, S, 3C) -> (B, S, H, 3, D) reshape."""
+    cin, c3 = w.shape
+    d = c3 // (3 * num_heads)
+    w = w.reshape(cin, 3, num_heads, d).transpose(0, 2, 1, 3).reshape(cin, c3)
+    b = b.reshape(3, num_heads, d).transpose(1, 0, 2).reshape(c3)
+    return w, b
+
+
 def convert_dinov2_state_dict(sd: Dict[str, Any], depth: int = 24) -> Params:
-    """torch DINOv2 state_dict -> vit params pytree (see nn/dinov2.py)."""
+    """torch DINOv2 state_dict -> vit params pytree (see nn/dinov2.py).
+
+    The fused qkv weight is column-permuted to head-major (``_qkv_to_head_major``).
+    """
+    dim = int(_np(sd["blocks.0.norm1.weight"]).shape[0])
+    num_heads = {384: 6, 768: 12, 1024: 16, 1536: 24}[dim]
     blocks = []
     for i in range(depth):
         pre = f"blocks.{i}."
+        qkv_w, qkv_b = _qkv_to_head_major(
+            _lin(sd[pre + "attn.qkv.weight"]), _vec(sd[pre + "attn.qkv.bias"]), num_heads
+        )
         blocks.append(
             {
                 "norm1": {"scale": _vec(sd[pre + "norm1.weight"]), "bias": _vec(sd[pre + "norm1.bias"])},
                 "attn": {
-                    "qkv": {"w": _lin(sd[pre + "attn.qkv.weight"]), "b": _vec(sd[pre + "attn.qkv.bias"])},
+                    "qkv": {"w": qkv_w, "b": qkv_b},
                     "proj": {"w": _lin(sd[pre + "attn.proj.weight"]), "b": _vec(sd[pre + "attn.proj.bias"])},
                 },
                 "ls1": {"gamma": _vec(sd[pre + "ls1.gamma"])},

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..geometry import inlier_counting_3d, soft_inlier_counting_3d, weighted_procrustes
 from ..geometry.projection import backproject_3d
-from ..ops.sampling import gumbel_topk_sample
+from ..ops.sampling import gumbel_topk_sample, gumbel_topk_sample_draws
 from .loss_utils import compute_pose_loss, compute_vcre_loss
 
 _NEG_INF = -1e30
@@ -144,13 +144,11 @@ def metric_pose_loss(
             logw = jnp.where(matches > 0, jnp.log(jnp.maximum(matches, 1e-30)), _NEG_INF)
             remap = None
 
-        # ALL it outer draws in ONE batched Gumbel top-k (statistically
-        # identical: Gumbel noise is iid across draws either way). The
-        # sequential per-draw scan was the training forward's dominant cost
-        # (~20 sequential top_k kernels; same fix as the inference solver,
-        # BENCHLOG round 2).
-        logw_all = jnp.broadcast_to(logw[None], (it,) + logw.shape)
-        idx_scan = gumbel_topk_sample(key_outer, logw_all, S)  # (it, B, S)
+        # ALL it outer draws in ONE batched Gumbel top-k when the noise
+        # tensor is small enough (the prefilter regime); per-draw scan in the
+        # exact no-prefilter regime to bound peak memory (see
+        # ops/sampling.gumbel_topk_sample_draws).
+        idx_scan = gumbel_topk_sample_draws(key_outer, logw, S, it)  # (it, B, S)
         idx = jnp.moveaxis(idx_scan, 0, 1)  # (B, it, S)
         if remap is not None:
             idx = jnp.take_along_axis(remap, idx.reshape(B, it * S), axis=1).reshape(B, it, S)

@@ -55,7 +55,12 @@ def synthetic_eval_case(tmp_path_factory):
     for scene in ("s00000", "s00001", "s00002"):
         sdir = root / scene
         sdir.mkdir(parents=True)
-        poses, intr, est_lines = [], [], []
+        # seq0 anchor frame shares frame number 0 with seq1/frame_00000 and
+        # has DIFFERENT intrinsics: the reference's frame-number-keyed dicts
+        # keep the LAST occurrence (the seq1 query), so must we
+        poses = ["seq0/frame_00000.jpg 1.0 0.0 0.0 0.0 0.0 0.0 0.0"]
+        intr = ["seq0/frame_00000.jpg 999.0 999.0 111.0 222.0 540 720"]
+        est_lines = []
         for i in range(n_frames):
             name = f"seq1/frame_{i:05}.jpg"
             q = _rand_unit_quat(rng)
