@@ -247,6 +247,8 @@ def default_config() -> Config:
                 # lax.scan unroll over the 24 ViT blocks (2 measured best:
                 # 344 -> 336 ms/batch-8, tools/bench_backbone_blocks.py)
                 "SCAN_UNROLL": 2,
+                # packed head-major attention kernel: no qkv relayouts
+                "PACKED_ATTENTION": True,
                 # fused correlation+dustbin+dual-softmax kernel: couplings
                 # never materialize in HBM (forward at inference; training
                 # additionally needs the analytic custom-VJP variant below)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.flash_attention import multi_head_attention
+from ..ops.flash_attention import multi_head_attention, multi_head_attention_packed
 from .common import layernorm, layernorm_init, linear, linear_init, trunc_normal
 
 Params = Dict[str, Any]
@@ -172,7 +172,7 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, h0: int, w0: int) -> jnp.nd
 
 
 def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num_heads: int,
-                 attn_blocks=(256, 512), mesh=None):
+                 attn_blocks=(256, 512), mesh=None, packed: bool = True):
     """One pre-norm ViT block with LayerScale. x: (B, S, C).
 
     With a (data, model) mesh the block runs Megatron tensor-parallel: heads
@@ -202,21 +202,30 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
     h = layernorm(bp["norm1"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
     qkv = linear(bp["attn"]["qkv"], h)  # (B, S, 3C) — column-parallel
     # the fused qkv weight stores its 3C output dim HEAD-MAJOR (h, t, d) —
-    # see checkpoint._qkv_to_head_major — so this reshape keeps contiguous
-    # column shards aligned with whole head groups under tensor parallelism
-    qkv = pin(qkv.reshape(b, s, num_heads, 3, d), DATA_AXIS, None, MODEL_AXIS, None, None)
-    q, k, v = (jnp.moveaxis(qkv[:, :, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
-    if tp > 1:
-        hspec = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
-        attn = jax.shard_map(
-            functools.partial(
-                multi_head_attention, seq_len=seq_len, use_pallas=use_pallas, blocks=attn_blocks
-            ),
-            mesh=mesh, in_specs=(hspec, hspec, hspec), out_specs=hspec, check_vma=False,
-        )(q, k, v)
-    else:
-        attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas, blocks=attn_blocks)
-    attn = jnp.moveaxis(attn, 1, 2).reshape(b, s, c)
+    # see checkpoint._qkv_to_head_major — so (a) the packed kernel can slice
+    # heads straight out of the minor dim and (b) contiguous column shards
+    # align with whole head groups under tensor parallelism
+    attn = None
+    if tp == 1 and packed:
+        # packed path: attention directly on the linear output, no
+        # (B,S,H,D)<->(B,H,S,D) relayouts
+        attn = multi_head_attention_packed(
+            qkv, seq_len, num_heads, use_pallas=use_pallas, blocks=attn_blocks
+        )
+    if attn is None:
+        qkv5 = pin(qkv.reshape(b, s, num_heads, 3, d), DATA_AXIS, None, MODEL_AXIS, None, None)
+        q, k, v = (jnp.moveaxis(qkv5[:, :, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
+        if tp > 1:
+            hspec = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
+            attn = jax.shard_map(
+                functools.partial(
+                    multi_head_attention, seq_len=seq_len, use_pallas=use_pallas, blocks=attn_blocks
+                ),
+                mesh=mesh, in_specs=(hspec, hspec, hspec), out_specs=hspec, check_vma=False,
+            )(q, k, v)
+        else:
+            attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas, blocks=attn_blocks)
+        attn = jnp.moveaxis(attn, 1, 2).reshape(b, s, c)
     attn = pin(linear(bp["attn"]["proj"], attn), DATA_AXIS, None, None)  # row-parallel
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * attn
 
@@ -244,6 +253,7 @@ def vit_forward_features(
     attn_blocks=(256, 512),
     scan_unroll: int = 1,
     mesh=None,
+    packed: bool = True,
 ) -> jnp.ndarray:
     """Frozen-backbone feature extraction.
 
@@ -278,7 +288,7 @@ def vit_forward_features(
             x = jnp.pad(x, ((0, 0), (0, padded - seq_len), (0, 0)))
 
     def body(carry, bp):
-        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks, mesh), None
+        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks, mesh, packed), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=scan_unroll)
 
@@ -288,7 +298,7 @@ def vit_forward_features(
 
 
 def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True, num_heads=16, patch_size=14,
-                     attn_blocks=(256, 512), scan_unroll=1, mesh=None):
+                     attn_blocks=(256, 512), scan_unroll=1, mesh=None, packed=True):
     """Patch tokens reshaped to a (B, H/14, W/14, C) feature map (fp32).
 
     The frozen-backbone boundary: output is wrapped in stop_gradient, the
@@ -300,7 +310,7 @@ def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True,
     toks = vit_forward_features(
         params, images_nhwc, patch_size=patch_size, num_heads=num_heads,
         dtype=dtype, use_pallas=use_pallas, attn_blocks=attn_blocks,
-        scan_unroll=scan_unroll, mesh=mesh,
+        scan_unroll=scan_unroll, mesh=mesh, packed=packed,
     )
     fmap = toks.reshape(b, h // patch_size, w // patch_size, -1)
     return jax.lax.stop_gradient(fmap)

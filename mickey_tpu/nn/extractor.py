@@ -67,6 +67,7 @@ def backbone_features(params: Params, images: jnp.ndarray, cfg, mesh=None) -> jn
         attn_blocks=tuple(cfg.TPU.get("ATTENTION_BLOCKS", (256, 512))),
         scan_unroll=int(cfg.TPU.get("SCAN_UNROLL", 1)),
         mesh=mesh,
+        packed=bool(cfg.TPU.get("PACKED_ATTENTION", True)),
     )
 
 

@@ -104,6 +104,107 @@ def flash_attention(
     return out.reshape(b, h, s, d)
 
 
+def _flash_packed_kernel(
+    qkvq_ref, qkvs_ref, o_ref, *, scale: float, seq_len: int, block_k: int,
+    head_dim: int, heads_per_block: int,
+):
+    """One (batch, head-pair, q-block) program on PACKED head-major qkv.
+
+    qkvq_ref: (1, block_q, hpb*3*D) — this q-block's packed q|k|v columns for
+    the program's head group; qkvs_ref: (1, S, hpb*3*D) — the full sequence
+    (for K/V). Slicing q/k/v out of the packed minor dim replaces the four
+    (B,S,H,D)<->(B,H,S,D) relayouts XLA otherwise materializes per block.
+    """
+    hd = head_dim
+    for j in range(heads_per_block):  # python-unrolled: static slices
+        base = j * 3 * hd
+        q = qkvq_ref[0, :, base : base + hd].astype(jnp.float32) * scale
+        block_q = q.shape[0]
+        s_total = qkvs_ref.shape[1]
+        num_kb = s_total // block_k
+
+        def body(i, carry):
+            acc, m, l = carry
+            k = qkvs_ref[0, pl.ds(i * block_k, block_k), base + hd : base + 2 * hd].astype(jnp.float32)
+            v = qkvs_ref[0, pl.ds(i * block_k, block_k), base + 2 * hd : base + 3 * hd].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+            s = jnp.where(col < seq_len, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = alpha * acc + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return acc_new, m_new, l_new
+
+        acc0 = jnp.zeros((block_q, hd), jnp.float32)
+        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+        o_ref[0, :, j * hd : (j + 1) * hd] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("seq_len", "num_heads", "block_q", "block_k", "interpret")
+)
+def flash_attention_packed(
+    qkv: jnp.ndarray,  # (B, S, 3C) packed HEAD-MAJOR: minor dim = (H, 3, D)
+    seq_len: int,
+    num_heads: int,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention directly on the head-major packed qkv linear output.
+
+    Returns (B, S, C) in the standard head-concat layout the proj weight
+    expects. Processes TWO heads per program so the packed minor block
+    (2*3*D = 384 for D=64) and output block (128) satisfy TPU lane tiling —
+    no (B,S,H,D)->(B,H,S,D) relayouts anywhere.
+    """
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = 2  # heads per program; all DINOv2 variants have even head counts
+    assert num_heads % hpb == 0 and s % block_q == 0 and s % block_k == 0, (num_heads, s)
+    scale = 1.0 / math.sqrt(d)
+    grid = (b, num_heads // hpb, s // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_packed_kernel, scale=scale, seq_len=seq_len, block_k=block_k,
+            head_dim=d, heads_per_block=hpb,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, hpb * 3 * d), lambda bi, hp, qi: (bi, qi, hp),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, hpb * 3 * d), lambda bi, hp, qi: (bi, 0, hp),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hpb * d), lambda bi, hp, qi: (bi, qi, hp),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s * s * d,
+            bytes_accessed=2 * b * s * (c3 + c) * 2,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(qkv, qkv)
+    return out
+
+
 def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seq_len: int) -> jnp.ndarray:
     """Plain-XLA attention with identical masking semantics (CPU/testing path)."""
     b, h, s, d = q.shape
@@ -114,6 +215,26 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seq_len:
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def multi_head_attention_packed(qkv, seq_len: int, num_heads: int,
+                                use_pallas: bool = True, blocks=(256, 512),
+                                interpret: bool = False):
+    """Packed head-major (B, S, 3C) -> (B, S, C), or None when no kernel
+    path applies (CPU, odd head count, head_dim not 64-aligned, or sequence
+    not block-divisible) — callers then take the unpacked reshape path."""
+    b, s, c3 = qkv.shape
+    d = (c3 // 3) // num_heads
+    if not use_pallas or num_heads % 2 or d % 64:
+        return None
+    bq, bk = blocks
+    if s % bq == 0 and s % bk == 0:
+        return flash_attention_packed(qkv, seq_len, num_heads, block_q=bq, block_k=bk,
+                                      interpret=interpret)
+    if s % 512 == 0:
+        return flash_attention_packed(qkv, seq_len, num_heads, block_q=256, block_k=512,
+                                      interpret=interpret)
+    return None
 
 
 def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True,

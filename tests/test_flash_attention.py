@@ -77,3 +77,37 @@ class TestFlashAttention:
         q, k, v = _rand_qkv(s=2048, h=1)
         fa.multi_head_attention(q, k, v, 1939, use_pallas=True, blocks=(512, 2048))
         assert calls == [(512, 2048)]
+
+
+class TestPackedFlashAttention:
+    """Packed head-major kernel == unpacked reference on the same logits."""
+
+    @pytest.mark.parametrize("block_q,block_k", [(256, 512), (512, 2048)])
+    @pytest.mark.parametrize("h", [2, 4])
+    def test_packed_matches_reference(self, block_q, block_k, h):
+        from mickey_tpu.ops.flash_attention import flash_attention_packed
+
+        b, s, d, seq_len = 2, 2048, 64, 1939
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(rng.normal(size=(b, s, h, 3, d)).astype(np.float32))
+        out = flash_attention_packed(
+            qkv.reshape(b, s, 3 * h * d), seq_len, h,
+            block_q=block_q, block_k=block_k, interpret=True,
+        )
+        q, k, v = (jnp.moveaxis(qkv[:, :, :, i], 1, 2) for i in range(3))
+        ref = attention_reference(q, k, v, seq_len)  # (B, H, S, D)
+        ref = jnp.moveaxis(ref, 1, 2).reshape(b, s, h * d)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :seq_len]), np.asarray(ref[:, :seq_len]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_dispatch_fallbacks(self):
+        from mickey_tpu.ops.flash_attention import multi_head_attention_packed
+
+        qkv = jnp.zeros((1, 512, 3 * 3 * 64), jnp.float32)  # 3 heads: odd
+        assert multi_head_attention_packed(qkv, 512, 3) is None
+        qkv = jnp.zeros((1, 500, 3 * 2 * 64), jnp.float32)  # seq not /512
+        assert multi_head_attention_packed(qkv, 500, 2) is None
+        qkv = jnp.zeros((1, 512, 3 * 2 * 32), jnp.float32)  # head_dim 32
+        assert multi_head_attention_packed(qkv, 512, 2) is None
