@@ -90,9 +90,12 @@ def predict(loader, model, mesh=None, progress: bool = True):
         }
         arrays, real_b = pad_batch(arrays, max(n_devices, 1))
         step_key = jax.random.fold_in(key, step)
-        if mesh is not None:
+        if mesh is not None and n_devices > 1:
             # shard_mapped per-chip programs (Pallas kernels can't be GSPMD-
-            # partitioned; see MickeyRelativePose.sharded_call)
+            # partitioned; see MickeyRelativePose.sharded_call). A 1-device
+            # mesh takes the staged path below instead: sharded_call fuses the
+            # whole pipeline into one program, which the remote-compile
+            # service cannot digest (relative_pose.py staged-pipeline note).
             arrays = shard_batch(mesh, arrays)
             out = model.sharded_call(
                 mesh,

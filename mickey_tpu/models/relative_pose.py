@@ -147,8 +147,13 @@ def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
 def _local_forward(params, image0, image1, K0, K1, key, cfg_id):
     """Per-device forward for shard_map: the whole pipeline on a local shard."""
     from ..nn.extractor import compute_correspondences
+    from ..parallel import DATA_AXIS
 
     cfg = _CFG_REGISTRY[cfg_id]
+    # decorrelate RANSAC noise across data shards: the key arrives replicated,
+    # so without the fold every chip would draw identical Gumbel noise for its
+    # local batch slice (same-local-index pairs would share randomness)
+    key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
     corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
     est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
     return est.R, est.t, est.confidence, est.valid

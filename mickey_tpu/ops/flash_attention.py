@@ -28,17 +28,19 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, block_k: int):
-    """One (batch*head, q-block) program: stream K/V blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
+def _online_softmax_attend(q, load_kv, num_kb: int, block_k: int, seq_len: int):
+    """The flash inner loop, shared by the classic and packed kernels.
+
+    q: (block_q, D) fp32, already scaled. load_kv(i) -> (k, v) fp32
+    (block_k, D) for key-block i. Streams key/value blocks keeping running
+    max / denominator; positions >= seq_len are masked. Returns the
+    normalized (block_q, D) fp32 attention output.
+    """
     block_q, d = q.shape
-    s_total = k_ref.shape[1]
-    num_kb = s_total // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # (Bk, D)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k, v = load_kv(i)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Bq, Bk)
@@ -59,7 +61,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, blo
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    return acc / jnp.maximum(l, 1e-30)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, block_k: int):
+    """One (batch*head, q-block) program: stream K/V blocks with online softmax."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
+    num_kb = k_ref.shape[1] // block_k
+
+    def load_kv(i):
+        return (
+            k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
+            v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
+        )
+
+    out = _online_softmax_attend(q, load_kv, num_kb, block_k, seq_len)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "block_q", "block_k", "interpret"))
@@ -116,36 +133,19 @@ def _flash_packed_kernel(
     (B,S,H,D)<->(B,H,S,D) relayouts XLA otherwise materializes per block.
     """
     hd = head_dim
+    num_kb = qkvs_ref.shape[1] // block_k
     for j in range(heads_per_block):  # python-unrolled: static slices
         base = j * 3 * hd
         q = qkvq_ref[0, :, base : base + hd].astype(jnp.float32) * scale
-        block_q = q.shape[0]
-        s_total = qkvs_ref.shape[1]
-        num_kb = s_total // block_k
 
-        def body(i, carry):
-            acc, m, l = carry
-            k = qkvs_ref[0, pl.ds(i * block_k, block_k), base + hd : base + 2 * hd].astype(jnp.float32)
-            v = qkvs_ref[0, pl.ds(i * block_k, block_k), base + 2 * hd : base + 3 * hd].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        def load_kv(i, base=base):
+            return (
+                qkvs_ref[0, pl.ds(i * block_k, block_k), base + hd : base + 2 * hd].astype(jnp.float32),
+                qkvs_ref[0, pl.ds(i * block_k, block_k), base + 2 * hd : base + 3 * hd].astype(jnp.float32),
             )
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-            s = jnp.where(col < seq_len, s, _NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = alpha * acc + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            return acc_new, m_new, l_new
 
-        acc0 = jnp.zeros((block_q, hd), jnp.float32)
-        m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((block_q, 1), jnp.float32)
-        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-        o_ref[0, :, j * hd : (j + 1) * hd] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        out = _online_softmax_attend(q, load_kv, num_kb, block_k, seq_len)
+        o_ref[0, :, j * hd : (j + 1) * hd] = out.astype(o_ref.dtype)
 
 
 @functools.partial(

@@ -79,6 +79,13 @@ def gumbel_topk_sample_draws(
     memory stays at one (batch, N) noise tensor. The two paths draw from the
     IDENTICAL distribution (Gumbel noise is iid across draws either way);
     only the PRNG stream assignment differs.
+
+    Note the fallback deliberately re-accepts the exact regime's known cost:
+    ``draws`` sequential top_k(N -> k) kernels with k in the thousands are
+    pathologically slow on TPU (~915 ms/solver-call at the benchmark point,
+    BENCHLOG round 1). Exact mode trades that time for the exact reference
+    distribution; the production configs use the prefilter and stay on the
+    fast batched path.
     """
     if draws * math.prod(log_weights.shape) <= max_elems:
         all_lw = jnp.broadcast_to(log_weights[None], (draws,) + log_weights.shape)
