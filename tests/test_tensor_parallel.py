@@ -125,3 +125,32 @@ class TestTPTrainStep:
         np.testing.assert_array_equal(m_tp["grad_norm"], m_tp2["grad_norm"])
         # cross-mesh agreement is statistical (sampling flips)
         np.testing.assert_allclose(m_tp["loss"], m_dp["loss"], rtol=0.05)
+
+
+class TestShardedServing:
+    def test_sharded_call_decorrelates_ransac_across_shards(self, rng):
+        """Identical pairs on every shard must get INDEPENDENT RANSAC noise:
+        sharded_call folds the replicated key by data-axis index
+        (models/relative_pose.py::_local_forward); without the fold all
+        same-local-index pairs would return bit-identical confidences."""
+        from mickey_tpu.models.relative_pose import MickeyRelativePose
+
+        cfg = train_cfg()
+        cfg.TPU.USE_PALLAS_ATTENTION = False
+        model = MickeyRelativePose(cfg, seed=0)
+        mesh = get_mesh(8)
+
+        im0 = jnp.asarray(
+            np.tile(rng.uniform(0, 1, (1, 126, 112, 3)).astype(np.float32), (8, 1, 1, 1))
+        )
+        im1 = jnp.asarray(
+            np.tile(rng.uniform(0, 1, (1, 126, 112, 3)).astype(np.float32), (8, 1, 1, 1))
+        )
+        K = jnp.asarray(
+            np.tile(np.array([[[100.0, 0, 56], [0, 100.0, 63], [0, 0, 1]]], np.float32), (8, 1, 1))
+        )
+        out = model.sharded_call(mesh, im0, im1, K, K)
+        conf = np.asarray(jax.device_get(out.inliers))
+        assert np.isfinite(conf).all()
+        # one pair per shard: every confidence must differ (independent draws)
+        assert len(np.unique(np.round(conf, 5))) == 8, conf
