@@ -39,9 +39,32 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def host_load_guard():
+    """Warn (stderr) when the host is under load: the benched loop is
+    dispatch-bound enough that a concurrent CPU-heavy job halves measured
+    throughput (BENCHLOG round-2 "Host-load sensitivity": 19.7 -> 8.7
+    pairs/s with a pytest suite running). Keeps stdout to the single JSON
+    line; set MICKEY_BENCH_STRICT_LOAD=1 to refuse instead of warning."""
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+    except OSError:
+        return
+    if load1 > 0.5 * ncpu:
+        msg = (
+            f"host under load (1-min loadavg {load1:.1f} on {ncpu} CPUs): "
+            "dispatch-bound throughput can halve; numbers below are suspect"
+        )
+        if os.environ.get("MICKEY_BENCH_STRICT_LOAD") == "1":
+            print(f"# REFUSING TO BENCH: {msg}", file=sys.stderr, flush=True)
+            raise SystemExit(3)
+        print(f"# WARNING: {msg}", file=sys.stderr, flush=True)
 
 A100_REFERENCE_PAIRS_PER_SEC = 22.0  # derived; see BASELINE.md round-2 section
 TARGET_MULTIPLIER = 5.0
@@ -57,6 +80,7 @@ PIPELINED = os.environ.get("MICKEY_BENCH_PIPELINED", "0") == "1"
 
 
 def main():
+    host_load_guard()
     import jax
     import jax.numpy as jnp
 
@@ -135,6 +159,7 @@ def main():
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec * POD_CHIPS / baseline, 3),
+                "batch": BATCH,  # comparison basis (ADVICE r2: 8 = reference test batch)
             }
         )
     )

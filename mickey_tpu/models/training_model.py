@@ -42,10 +42,9 @@ class MicKeyTrainer:
 
             dpath = resolve_dinov2_weights(download=bool(cfg.MICKEY.DINOV2.get("DOWNLOAD", True)))
             if dpath:
-                import torch  # host-side only
+                from ..training.checkpoint import load_torch_state_dict
 
-                dsd = torch.load(dpath, map_location="cpu", weights_only=False)
-                params["dinov2"] = convert_dinov2_state_dict(dsd)
+                params["dinov2"] = convert_dinov2_state_dict(load_torch_state_dict(dpath))
         state, backbone = init_train_state(cfg, params)
         self.state = replicate(self.mesh, state)
         # tensor-parallel backbone placement when the mesh has a 'model' axis

@@ -173,15 +173,34 @@ def convert_mickey_state_dict(sd: Dict[str, Any]) -> Params:
     return params
 
 
-def load_reference_checkpoint(ckpt_path: str, dinov2_path: Optional[str] = None) -> Params:
-    """Load mickey.ckpt (+ optional dinov2 .pth) into a full model pytree."""
+def load_torch_state_dict(path: str):
+    """torch.load restricted to tensors (weights_only=True).
+
+    Checkpoint paths are resolved from env vars / CWD / auto-download, so full
+    pickle would be an arbitrary-code-execution surface. Plain state_dicts
+    (DINOv2 .pth) never need it; Lightning .ckpt files may carry non-tensor
+    metadata, so fall back to full unpickling only on explicit opt-in.
+    """
     import torch  # local import: torch is host-side only
 
-    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if os.environ.get("MICKEY_UNSAFE_TORCH_LOAD") != "1":
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True. If you trust "
+                "this file, set MICKEY_UNSAFE_TORCH_LOAD=1 to allow full "
+                "unpickling."
+            )
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_reference_checkpoint(ckpt_path: str, dinov2_path: Optional[str] = None) -> Params:
+    """Load mickey.ckpt (+ optional dinov2 .pth) into a full model pytree."""
+    ckpt = load_torch_state_dict(ckpt_path)
     params = convert_mickey_state_dict(ckpt)
     if dinov2_path:
-        dsd = torch.load(dinov2_path, map_location="cpu", weights_only=False)
-        params["dinov2"] = convert_dinov2_state_dict(dsd)
+        params["dinov2"] = convert_dinov2_state_dict(load_torch_state_dict(dinov2_path))
     return params
 
 

@@ -35,6 +35,12 @@ def main():
         action="store_true",
         help="time the loss forward (no grad/optimizer) to decompose the step",
     )
+    parser.add_argument(
+        "--json",
+        default="",
+        help="also write one machine-readable JSON line to this path "
+        "(per-round artifact, e.g. TRAIN_r03.json)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -159,6 +165,22 @@ def main():
     if flops:
         line += f"   ({flops/dt/1e12:6.1f} TFLOP/s effective)"
     print(line, flush=True)
+
+    import json
+
+    record = json.dumps(
+        {
+            "metric": "train_pairs_per_sec_per_chip",
+            "value": round(B / dt, 3),
+            "unit": "pairs/s",
+            "batch": B,
+            "step_ms": round(dt * 1e3, 2),
+        }
+    )
+    print(record, flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(record + "\n")
 
 
 if __name__ == "__main__":
