@@ -238,6 +238,12 @@ def default_config() -> Config:
                 # faster than exact sampling on v5e.
                 "SAMPLING_PREFILTER": 4096,
                 "USE_PALLAS_ATTENTION": True,
+                # fused RANSAC hypothesis scoring kernel (SURVEY §7 kernel 3):
+                # the (B, R, S) distance tensor never leaves VMEM
+                "USE_PALLAS_SCORING": True,
+                # run Pallas kernels in interpret mode (CPU testing of the
+                # exact kernel code paths, e.g. the multichip dryrun)
+                "PALLAS_INTERPRET": False,
                 # flash-attention (block_q, block_k); the padded ViT sequence
                 # must divide both or the kernel falls back to 256/512.
                 # bq512/bk2048 measured fastest inside the staged backbone

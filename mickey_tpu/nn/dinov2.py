@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.flash_attention import multi_head_attention, multi_head_attention_packed
+from ..ops.flash_attention import (
+    multi_head_attention,
+    multi_head_attention_packed,
+    packed_kernel_blocks,
+)
 from .common import layernorm, layernorm_init, linear, linear_init, trunc_normal
 
 Params = Dict[str, Any]
@@ -172,7 +176,8 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, h0: int, w0: int) -> jnp.nd
 
 
 def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num_heads: int,
-                 attn_blocks=(256, 512), mesh=None, packed: bool = True):
+                 attn_blocks=(256, 512), mesh=None, packed: bool = True,
+                 interpret: bool = False):
     """One pre-norm ViT block with LayerScale. x: (B, S, C).
 
     With a (data, model) mesh the block runs Megatron tensor-parallel: heads
@@ -180,7 +185,10 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
     constraints so GSPMD keeps the column/row pattern of
     parallel.vit_tp_shardings), and the attention kernel is shard_mapped so
     each device runs flash attention over its LOCAL heads — a Pallas call
-    cannot be partitioned by GSPMD itself.
+    cannot be partitioned by GSPMD itself. The packed head-major kernel runs
+    under TP too: head-major column shards of the fused qkv output are
+    contiguous whole head groups, so each device's shard IS a valid packed
+    (B, S, 3C/tp) array for its local heads.
     """
     from ..parallel import DATA_AXIS, MODEL_AXIS, mesh_tp
 
@@ -206,12 +214,29 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
     # heads straight out of the minor dim and (b) contiguous column shards
     # align with whole head groups under tensor parallelism
     attn = None
-    if tp == 1 and packed:
-        # packed path: attention directly on the linear output, no
-        # (B,S,H,D)<->(B,H,S,D) relayouts
-        attn = multi_head_attention_packed(
-            qkv, seq_len, num_heads, use_pallas=use_pallas, blocks=attn_blocks
-        )
+    if packed:
+        if tp == 1:
+            # packed path: attention directly on the linear output, no
+            # (B,S,H,D)<->(B,H,S,D) relayouts
+            attn = multi_head_attention_packed(
+                qkv, seq_len, num_heads, use_pallas=use_pallas, blocks=attn_blocks,
+                interpret=interpret,
+            )
+        elif packed_kernel_blocks(s, d, use_pallas, attn_blocks) is not None:
+            cspec = jax.sharding.PartitionSpec(DATA_AXIS, None, MODEL_AXIS)
+
+            def _packed_local(qkv_local):
+                out = multi_head_attention_packed(
+                    qkv_local, seq_len, num_heads // tp, use_pallas=use_pallas,
+                    blocks=attn_blocks, interpret=interpret,
+                )
+                assert out is not None  # eligibility pre-checked above
+                return out
+
+            attn = jax.shard_map(
+                _packed_local, mesh=mesh, in_specs=(cspec,), out_specs=cspec,
+                check_vma=False,
+            )(pin(qkv, DATA_AXIS, None, MODEL_AXIS))
     if attn is None:
         qkv5 = pin(qkv.reshape(b, s, num_heads, 3, d), DATA_AXIS, None, MODEL_AXIS, None, None)
         q, k, v = (jnp.moveaxis(qkv5[:, :, :, i], 1, 2) for i in range(3))  # (B, H, S, D)
@@ -219,12 +244,14 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
             hspec = jax.sharding.PartitionSpec(DATA_AXIS, MODEL_AXIS, None, None)
             attn = jax.shard_map(
                 functools.partial(
-                    multi_head_attention, seq_len=seq_len, use_pallas=use_pallas, blocks=attn_blocks
+                    multi_head_attention, seq_len=seq_len, use_pallas=use_pallas,
+                    blocks=attn_blocks, interpret=interpret,
                 ),
                 mesh=mesh, in_specs=(hspec, hspec, hspec), out_specs=hspec, check_vma=False,
             )(q, k, v)
         else:
-            attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas, blocks=attn_blocks)
+            attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas,
+                                        blocks=attn_blocks, interpret=interpret)
         attn = jnp.moveaxis(attn, 1, 2).reshape(b, s, c)
     attn = pin(linear(bp["attn"]["proj"], attn), DATA_AXIS, None, None)  # row-parallel
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * attn
@@ -254,6 +281,7 @@ def vit_forward_features(
     scan_unroll: int = 1,
     mesh=None,
     packed: bool = True,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Frozen-backbone feature extraction.
 
@@ -266,13 +294,12 @@ def vit_forward_features(
     b, h, w, _ = images.shape
     h0, w0 = h // patch_size, w // patch_size
 
-    x = jax.lax.conv_general_dilated(
-        images.astype(dtype),
-        params["patch_embed"]["w"].astype(dtype),
-        window_strides=(patch_size, patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    # patchify as reshape + einsum rather than a strided conv: XLA lowers the
+    # stride-14 conv to a ~1 TF/s path (35 ms/batch-16 measured, 12% of the
+    # whole backbone — tools/bench_backbone_profile.py round 3) while the
+    # identical contraction as a (B*P, 588)x(588, C) matmul rides the MXU.
+    x = images.astype(dtype).reshape(b, h0, patch_size, w0, patch_size, images.shape[-1])
+    x = jnp.einsum("bipjqc,pqcd->bijd", x, params["patch_embed"]["w"].astype(dtype))
     x = x + params["patch_embed"]["b"].astype(dtype)
     x = x.reshape(b, h0 * w0, -1)
 
@@ -288,7 +315,8 @@ def vit_forward_features(
             x = jnp.pad(x, ((0, 0), (0, padded - seq_len), (0, 0)))
 
     def body(carry, bp):
-        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks, mesh, packed), None
+        return _block_apply(carry, bp, seq_len, use_pallas, num_heads, attn_blocks,
+                            mesh, packed, interpret), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"], unroll=scan_unroll)
 
@@ -298,7 +326,8 @@ def vit_forward_features(
 
 
 def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True, num_heads=16, patch_size=14,
-                     attn_blocks=(256, 512), scan_unroll=1, mesh=None, packed=True):
+                     attn_blocks=(256, 512), scan_unroll=1, mesh=None, packed=True,
+                     interpret=False):
     """Patch tokens reshaped to a (B, H/14, W/14, C) feature map (fp32).
 
     The frozen-backbone boundary: output is wrapped in stop_gradient, the
@@ -310,7 +339,7 @@ def vit_features_chw(params, images_nhwc, cfg_dtype="bfloat16", use_pallas=True,
     toks = vit_forward_features(
         params, images_nhwc, patch_size=patch_size, num_heads=num_heads,
         dtype=dtype, use_pallas=use_pallas, attn_blocks=attn_blocks,
-        scan_unroll=scan_unroll, mesh=mesh, packed=packed,
+        scan_unroll=scan_unroll, mesh=mesh, packed=packed, interpret=interpret,
     )
     fmap = toks.reshape(b, h // patch_size, w // patch_size, -1)
     return jax.lax.stop_gradient(fmap)

@@ -91,12 +91,16 @@ def match_scores(
 ) -> jnp.ndarray:
     if cfg.FEATURE_MATCHER.TYPE == "DualSoftmax":
         fm = cfg.FEATURE_MATCHER.DUAL_SOFTMAX
-        if cfg.TPU.get("USE_PALLAS_MATCHER", True) and jax.default_backend() != "cpu":
+        interpret = bool(cfg.TPU.get("PALLAS_INTERPRET", False))
+        if cfg.TPU.get("USE_PALLAS_MATCHER", True) and (
+            interpret or jax.default_backend() != "cpu"
+        ):
             # Pallas fusion: couplings never materialize in HBM. Inference
             # (allow_fused) takes the forward-only kernel; training takes the
             # analytic-VJP variant so the backward streams through VMEM too.
             dustbin = params.get("dustbin_score", jnp.float32(0.0))
-            kw = dict(temperature=float(fm.TEMPERATURE), use_dustbin=bool(fm.USE_DUSTBIN))
+            kw = dict(temperature=float(fm.TEMPERATURE), use_dustbin=bool(fm.USE_DUSTBIN),
+                      interpret=interpret)
             if allow_fused:
                 from ..ops.fused_matcher import fused_dual_softmax
 

@@ -28,13 +28,21 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _online_softmax_attend(q, load_kv, num_kb: int, block_k: int, seq_len: int):
+def _online_softmax_attend(q, load_kv, num_kb: int, block_k: int, seq_len: int, scale: float):
     """The flash inner loop, shared by the classic and packed kernels.
 
-    q: (block_q, D) fp32, already scaled. load_kv(i) -> (k, v) fp32
-    (block_k, D) for key-block i. Streams key/value blocks keeping running
-    max / denominator; positions >= seq_len are masked. Returns the
-    normalized (block_q, D) fp32 attention output.
+    q: (block_q, D) in its STORED dtype. load_kv(i) -> (k, v) (block_k, D),
+    also stored dtype, for key-block i. The QK / PV matmuls run on the MXU in
+    the stored dtype with fp32 accumulation: for bf16 inputs this is
+    bit-identical to upcasting first (8-bit mantissa products are exact in
+    fp32) on the QK side and ~4x faster than fp32-emulated matmuls; the
+    softmax probabilities are quantized to the value dtype for the PV matmul
+    (<=0.4% relative — inside the backbone's bf16 envelope). Softmax
+    statistics and the accumulator stay fp32. ``scale`` (1/sqrt(D)) is
+    applied to the fp32 scores, not to q, so low-precision q is not
+    pre-rounded. Streams key/value blocks keeping running max / denominator;
+    positions >= seq_len are masked. Returns the normalized (block_q, D)
+    fp32 attention output.
     """
     block_q, d = q.shape
 
@@ -43,7 +51,7 @@ def _online_softmax_attend(q, load_kv, num_kb: int, block_k: int, seq_len: int):
         k, v = load_kv(i)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Bq, Bk)
+        ) * scale  # (Bq, Bk) fp32
         # mask padded keys (static seq_len)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
         s = jnp.where(col < seq_len, s, _NEG_INF)
@@ -53,7 +61,7 @@ def _online_softmax_attend(q, load_kv, num_kb: int, block_k: int, seq_len: int):
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = alpha * acc + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return acc_new, m_new, l_new
 
@@ -66,16 +74,16 @@ def _online_softmax_attend(q, load_kv, num_kb: int, block_k: int, seq_len: int):
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, block_k: int):
     """One (batch*head, q-block) program: stream K/V blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (Bq, D)
+    q = q_ref[0]  # (Bq, D), stored dtype — MXU dot with fp32 accumulation
     num_kb = k_ref.shape[1] // block_k
 
     def load_kv(i):
         return (
-            k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
-            v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
+            k_ref[0, pl.ds(i * block_k, block_k), :],
+            v_ref[0, pl.ds(i * block_k, block_k), :],
         )
 
-    out = _online_softmax_attend(q, load_kv, num_kb, block_k, seq_len)
+    out = _online_softmax_attend(q, load_kv, num_kb, block_k, seq_len, scale)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -136,15 +144,15 @@ def _flash_packed_kernel(
     num_kb = qkvs_ref.shape[1] // block_k
     for j in range(heads_per_block):  # python-unrolled: static slices
         base = j * 3 * hd
-        q = qkvq_ref[0, :, base : base + hd].astype(jnp.float32) * scale
+        q = qkvq_ref[0, :, base : base + hd]  # stored dtype (bf16 in prod)
 
         def load_kv(i, base=base):
             return (
-                qkvs_ref[0, pl.ds(i * block_k, block_k), base + hd : base + 2 * hd].astype(jnp.float32),
-                qkvs_ref[0, pl.ds(i * block_k, block_k), base + 2 * hd : base + 3 * hd].astype(jnp.float32),
+                qkvs_ref[0, pl.ds(i * block_k, block_k), base + hd : base + 2 * hd],
+                qkvs_ref[0, pl.ds(i * block_k, block_k), base + 2 * hd : base + 3 * hd],
             )
 
-        out = _online_softmax_attend(q, load_kv, num_kb, block_k, seq_len)
+        out = _online_softmax_attend(q, load_kv, num_kb, block_k, seq_len, scale)
         o_ref[0, :, j * hd : (j + 1) * hd] = out.astype(o_ref.dtype)
 
 
@@ -164,13 +172,16 @@ def flash_attention_packed(
     Returns (B, S, C) in the standard head-concat layout the proj weight
     expects. Processes TWO heads per program so the packed minor block
     (2*3*D = 384 for D=64) and output block (128) satisfy TPU lane tiling —
-    no (B,S,H,D)->(B,H,S,D) relayouts anywhere.
+    no (B,S,H,D)->(B,H,S,D) relayouts anywhere. ODD head counts (e.g. a
+    tensor-parallel shard of vit_small's 6 heads at tp=2) fall back to one
+    program per (batch, q-block) covering ALL heads: full-minor blocks are
+    exempt from the 128-lane divisibility rule.
     """
     b, s, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    hpb = 2  # heads per program; all DINOv2 variants have even head counts
-    assert num_heads % hpb == 0 and s % block_q == 0 and s % block_k == 0, (num_heads, s)
+    hpb = 2 if num_heads % 2 == 0 else num_heads  # heads per program
+    assert s % block_q == 0 and s % block_k == 0, (num_heads, s)
     scale = 1.0 / math.sqrt(d)
     grid = (b, num_heads // hpb, s // block_q)
 
@@ -221,24 +232,33 @@ def multi_head_attention_packed(qkv, seq_len: int, num_heads: int,
                                 use_pallas: bool = True, blocks=(256, 512),
                                 interpret: bool = False):
     """Packed head-major (B, S, 3C) -> (B, S, C), or None when no kernel
-    path applies (CPU, odd head count, head_dim not 64-aligned, or sequence
-    not block-divisible) — callers then take the unpacked reshape path."""
+    path applies (CPU, head_dim not 64-aligned, or sequence not
+    block-divisible) — callers then take the unpacked reshape path."""
     b, s, c3 = qkv.shape
     d = (c3 // 3) // num_heads
-    if not use_pallas or num_heads % 2 or d % 64:
+    sel = packed_kernel_blocks(s, d, use_pallas, blocks)
+    if sel is None:
+        return None
+    bq, bk = sel
+    return flash_attention_packed(qkv, seq_len, num_heads, block_q=bq, block_k=bk,
+                                  interpret=interpret)
+
+
+def packed_kernel_blocks(s: int, head_dim: int, use_pallas: bool, blocks=(256, 512)):
+    """Static eligibility for the packed kernel: the (block_q, block_k) it
+    would use, or None when the unpacked path must be taken."""
+    if not use_pallas or head_dim % 64:
         return None
     bq, bk = blocks
     if s % bq == 0 and s % bk == 0:
-        return flash_attention_packed(qkv, seq_len, num_heads, block_q=bq, block_k=bk,
-                                      interpret=interpret)
+        return bq, bk
     if s % 512 == 0:
-        return flash_attention_packed(qkv, seq_len, num_heads, block_q=256, block_k=512,
-                                      interpret=interpret)
+        return 256, 512
     return None
 
 
 def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True,
-                         blocks=(256, 512)):
+                         blocks=(256, 512), interpret: bool = False):
     """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere.
 
     ``blocks`` = (block_q, block_k); configurable via cfg.TPU.ATTENTION_BLOCKS.
@@ -248,7 +268,7 @@ def multi_head_attention(q, k, v, seq_len: int, use_pallas: bool = True,
     """
     bq, bk = blocks
     if use_pallas and q.shape[2] % bq == 0 and q.shape[2] % bk == 0:
-        return flash_attention(q, k, v, seq_len, block_q=bq, block_k=bk)
+        return flash_attention(q, k, v, seq_len, block_q=bq, block_k=bk, interpret=interpret)
     if use_pallas and q.shape[2] % 512 == 0:
-        return flash_attention(q, k, v, seq_len, block_q=256, block_k=512)
+        return flash_attention(q, k, v, seq_len, block_q=256, block_k=512, interpret=interpret)
     return attention_reference(q, k, v, seq_len)

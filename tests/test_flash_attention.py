@@ -83,7 +83,7 @@ class TestPackedFlashAttention:
     """Packed head-major kernel == unpacked reference on the same logits."""
 
     @pytest.mark.parametrize("block_q,block_k", [(256, 512), (512, 2048)])
-    @pytest.mark.parametrize("h", [2, 4])
+    @pytest.mark.parametrize("h", [2, 4, 3])  # 3 = odd (a tp shard of vit_small)
     def test_packed_matches_reference(self, block_q, block_k, h):
         from mickey_tpu.ops.flash_attention import flash_attention_packed
 
@@ -103,11 +103,18 @@ class TestPackedFlashAttention:
         )
 
     def test_dispatch_fallbacks(self):
-        from mickey_tpu.ops.flash_attention import multi_head_attention_packed
+        from mickey_tpu.ops.flash_attention import (
+            multi_head_attention_packed,
+            packed_kernel_blocks,
+        )
 
-        qkv = jnp.zeros((1, 512, 3 * 3 * 64), jnp.float32)  # 3 heads: odd
-        assert multi_head_attention_packed(qkv, 512, 3) is None
         qkv = jnp.zeros((1, 500, 3 * 2 * 64), jnp.float32)  # seq not /512
         assert multi_head_attention_packed(qkv, 500, 2) is None
         qkv = jnp.zeros((1, 512, 3 * 2 * 32), jnp.float32)  # head_dim 32
         assert multi_head_attention_packed(qkv, 512, 2) is None
+        # the static predicate agrees with the dispatcher
+        assert packed_kernel_blocks(500, 64, True) is None
+        assert packed_kernel_blocks(512, 32, True) is None
+        assert packed_kernel_blocks(512, 64, False) is None
+        assert packed_kernel_blocks(2048, 64, True, (512, 2048)) == (512, 2048)
+        assert packed_kernel_blocks(512, 64, True, (512, 2048)) == (256, 512)

