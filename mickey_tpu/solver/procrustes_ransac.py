@@ -32,6 +32,7 @@ from ..geometry import (
     soft_inlier_counting_3d,
     weighted_procrustes,
 )
+from ..ops.hypothesis_scoring import hypothesis_scores
 from ..ops.sampling import gumbel_topk_sample, gumbel_topk_sample_draws
 
 _NEG_INF = -1e30
@@ -67,6 +68,8 @@ def _log_weights(scores: jnp.ndarray, eps: float = 1e-30) -> jnp.ndarray:
         "th_soft_inlier",
         "approx_sampling",
         "prefilter",
+        "use_pallas_scoring",
+        "pallas_interpret",
     ),
 )
 def estimate_pose(
@@ -87,6 +90,8 @@ def estimate_pose(
     th_soft_inlier: float = 0.3,
     approx_sampling: bool = False,
     prefilter: int = 0,
+    use_pallas_scoring: bool = False,
+    pallas_interpret: bool = False,
 ) -> PoseEstimate:
     """Metric relative pose from soft correspondence scores.
 
@@ -173,8 +178,11 @@ def estimate_pose(
         sol = weighted_procrustes(Xk, Yk, use_weights=False)  # R: (B, R, 3, 3)
 
         # -- score every hypothesis against all S samples of this draw
-        score = soft_inlier_counting_3d(X[:, None], Y[:, None], sol.R, sol.t, th=th_soft_inlier)
-        score = score[..., 0]  # (B, R)
+        # (fused Pallas kernel: the (B, R, S) distance tensor never leaves
+        # VMEM; ops/hypothesis_scoring.py)
+        score = hypothesis_scores(
+            X, Y, sol.R, sol.t, th_soft_inlier, use_pallas_scoring, pallas_interpret
+        )  # (B, R)
         hyp_ok = (
             sol.valid
             & jnp.all(jnp.isfinite(sol.R.reshape(B, it_ransac, 9)), axis=-1)
@@ -290,6 +298,8 @@ def estimate_pose_from_cfg(key, corr, K0, K1, cfg, final_scores=None):
         th_soft_inlier=pc.TH_SOFT_INLIER,
         approx_sampling=cfg.TPU.SAMPLING == "approx",
         prefilter=int(cfg.TPU.get("SAMPLING_PREFILTER", 0) or 0),
+        use_pallas_scoring=bool(cfg.TPU.get("USE_PALLAS_SCORING", True)),
+        pallas_interpret=bool(cfg.TPU.get("PALLAS_INTERPRET", False)),
     )
 
 

@@ -101,6 +101,19 @@ def main():
 
     t_s = timeit("solver", solver_fn)
 
+    # same-process A/B of the fused hypothesis-scoring kernel (round 3)
+    import copy
+
+    cfg_noscore = copy.deepcopy(cfg)
+    cfg_noscore.TPU.USE_PALLAS_SCORING = not bool(cfg.TPU.get("USE_PALLAS_SCORING", True))
+    variant = "on" if cfg_noscore.TPU.USE_PALLAS_SCORING else "off"
+
+    def solver_ab_fn(i):
+        e = estimate_pose_from_cfg(jax.random.fold_in(key, i), corr, K, K, cfg_noscore)
+        return hsum(e.confidence)
+
+    timeit(f"solver[sc_{variant}]", solver_ab_fn)
+
     def full_fn(i):
         c = rp._staged_correspondences(params, im0 + jnp.float32(1e-9 * i), im1, cfg_id)
         e = estimate_pose_from_cfg(jax.random.fold_in(key, i), c, K, K, cfg)
