@@ -42,7 +42,12 @@ def collate(samples: List[Dict]) -> Dict:
     batch: Dict = {}
     for k in samples[0]:
         if k in _ARRAY_KEYS:
-            batch[k] = np.stack([np.asarray(s[k]) for s in samples]).astype(np.float32)
+            stacked = np.stack([np.asarray(s[k]) for s in samples])
+            # uint8 images stay uint8: they travel to the device 4x smaller
+            # and normalization fuses on-device (nn/extractor.normalize_images)
+            if not (k in ("image0", "image1") and stacked.dtype == np.uint8):
+                stacked = stacked.astype(np.float32)
+            batch[k] = stacked
         else:
             batch[k] = [s[k] for s in samples]
     return batch
@@ -138,6 +143,9 @@ class DataLoader:
             stop.set()
 
     def _load_batch(self, idxs: List[int]) -> Dict:
+        batch = self._load_batch_rawcache(idxs)
+        if batch is not None:
+            return batch
         if self._native_batch is None:
             self._native_batch = self._native_usable()
         if self._native_batch:
@@ -146,6 +154,25 @@ class DataLoader:
                 return batch
             self._native_batch = False  # decode backend failed: fall back for good
         return collate([self.dataset[i] for i in idxs])
+
+    def _load_batch_rawcache(self, idxs: List[int]) -> Dict:
+        """Decode-free ingest from per-scene uint8 raw caches (memcpy-bound;
+        data/raw_cache.py). Applies only when EVERY pair in the batch has a
+        cache and no augmentation transforms are configured."""
+        if not hasattr(self.dataset, "locate"):
+            return None
+        samples = []
+        for i in idxs:
+            ds, local = self.dataset.locate(i)
+            if getattr(ds, "transforms", None) is not None or not hasattr(ds, "raw_images"):
+                return None
+            imgs = ds.raw_images(local)
+            if imgs is None:
+                return None
+            s = ds.sample_meta(local)
+            s["image0"], s["image1"] = imgs
+            samples.append(s)
+        return collate(samples)
 
     def _load_batch_native(self, idxs: List[int]) -> Dict:
         """One GIL-free native call decodes the whole batch (2B JPEGs)."""

@@ -159,6 +159,20 @@ class MapFreeScene:
             str(self.scene_root / self.paths1[index]),
         )
 
+    def raw_images(self, index: int):
+        """(img0, img1) uint8 views from the scene's raw cache, or None when
+        no cache was built (data/raw_cache.py; decode-once pod-rate ingest)."""
+        if not hasattr(self, "_raw_cache"):
+            from .raw_cache import SceneRawCache
+
+            self._raw_cache = SceneRawCache.open_if_exists(self.scene_root, self.resize)
+        if self._raw_cache is None:
+            return None
+        return (
+            self._raw_cache.image(self.paths0[index]),
+            self._raw_cache.image(self.paths1[index]),
+        )
+
     def sample_meta(self, index: int) -> Dict:
         """The sample dict WITHOUT images — lets a batched decoder fill them."""
         path0, path1 = self.paths0[index], self.paths1[index]

@@ -50,24 +50,38 @@ def model_init(key: jax.Array, cfg, include_backbone: bool = True) -> Params:
     return p
 
 
+def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 batches (raw-cache ingest, data/raw_cache.py) are normalized
+    ON DEVICE — the /255 fuses into the patch-embed matmul, and the
+    host->device transfer stays 4x smaller. float input passes through
+    (already [0, 1], data/io.read_color_image)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) * (1.0 / 255.0)
+    return images
+
+
 def backbone_features(params: Params, images: jnp.ndarray, cfg, mesh=None) -> jnp.ndarray:
     """Frozen DINOv2 feature map (B, H/df, W/df, C), fp32, stop-gradient."""
+    images = normalize_images(images)
     mk = cfg.MICKEY
     df = mk.DINOV2.DOWN_FACTOR
     b, h, w, _ = images.shape
     assert h % df == 0 and w % df == 0, f"image size {(h, w)} not divisible by {df}"
     variant = mk.DINOV2.get("VARIANT", "vit_large")
+    interpret = bool(cfg.TPU.get("PALLAS_INTERPRET", False))
     return vit_features_chw(
         params["dinov2"],
         images,
         cfg_dtype=("bfloat16" if mk.DINOV2.FLOAT16 else "float32"),
-        use_pallas=cfg.TPU.USE_PALLAS_ATTENTION and jax.default_backend() != "cpu",
+        use_pallas=cfg.TPU.USE_PALLAS_ATTENTION
+        and (interpret or jax.default_backend() != "cpu"),
         num_heads=VIT_CONFIGS[variant]["num_heads"],
         patch_size=df,
         attn_blocks=tuple(cfg.TPU.get("ATTENTION_BLOCKS", (256, 512))),
         scan_unroll=int(cfg.TPU.get("SCAN_UNROLL", 1)),
         mesh=mesh,
         packed=bool(cfg.TPU.get("PACKED_ATTENTION", True)),
+        interpret=interpret,
     )
 
 

@@ -156,6 +156,45 @@ class TestDataset:
             assert bn["scene_id"] == bc["scene_id"]
 
 
+    def test_loader_rawcache_matches_cv2(self, fake_dataset, tmp_path):
+        """Decode-once uint8 raw cache (data/raw_cache.py): batches must be
+        bit-identical to the cv2 decode path after device-side normalization,
+        ingest as uint8 (4x smaller transfer), and keep all metadata."""
+        import shutil
+
+        import jax.numpy as jnp
+
+        from mickey_tpu.data.raw_cache import build_scene_cache
+        from mickey_tpu.nn.extractor import normalize_images
+
+        root = tmp_path / "ds"
+        shutil.copytree(fake_dataset, root)
+        cfg = tiny_cfg(root)
+        cfg.TRAINING.NATIVE_LOADER = False
+        ref_batches = list(DataModule(cfg, drop_last_val=False).val_dataloader())
+        assert ref_batches[0]["image0"].dtype == np.float32
+
+        for scene in sorted((root / "val").iterdir()):
+            build_scene_cache(scene, (cfg.DATASET.WIDTH, cfg.DATASET.HEIGHT))
+        raw_batches = list(DataModule(cfg, drop_last_val=False).val_dataloader())
+
+        assert len(raw_batches) == len(ref_batches)
+        for br, bc in zip(raw_batches, ref_batches):
+            assert br["image0"].dtype == np.uint8  # rawcache path taken
+            np.testing.assert_array_equal(
+                br["image0"].astype(np.float32) / 255.0, bc["image0"]
+            )
+            np.testing.assert_array_equal(br["T_0to1"], bc["T_0to1"])
+            np.testing.assert_array_equal(br["K_color0"], bc["K_color0"])
+            assert br["pair_names"] == bc["pair_names"]
+
+        # device-side normalization equals the host /255 (1-ulp reciprocal)
+        u8 = jnp.asarray(raw_batches[0]["image0"])
+        np.testing.assert_allclose(
+            np.asarray(normalize_images(u8)), ref_batches[0]["image0"], atol=1e-6
+        )
+
+
 class TestSubmissionEndToEnd:
     def test_predict_evaluate(self, fake_dataset, tmp_path):
         from mickey_tpu.cli.submission import predict, save_submission
