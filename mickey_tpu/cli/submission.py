@@ -129,17 +129,20 @@ def save_submission(results_dict: dict, output_path: Path):
             zf.writestr(f"pose_{scene}.txt", poses_str.encode("utf-8"))
 
 
-def eval_split(args):
+def eval_split(args, cfg=None, model=None):
+    """Run one split end-to-end. ``cfg``/``model`` overrides let callers
+    (tools/quality_run.py) inject a pre-built configuration/model."""
     from ..config import default_config
     from ..data.loader import DataModule
     from ..models import build_model
     from ..parallel import get_mesh
 
-    cfg = default_config()
-    if args.dataset_config:
-        cfg.merge_from_file(args.dataset_config)
-    if args.config:
-        cfg.merge_from_file(args.config)
+    if cfg is None:
+        cfg = default_config()
+        if args.dataset_config:
+            cfg.merge_from_file(args.dataset_config)
+        if args.config:
+            cfg.merge_from_file(args.config)
 
     cfg.TRAINING.NUM_WORKERS = 8  # IO threads for the prefetching loader
     if args.split == "test":
@@ -151,7 +154,8 @@ def eval_split(args):
     else:
         raise NotImplementedError(f"Invalid split: {args.split}")
 
-    model = build_model(cfg, args.checkpoint, dinov2_path=args.dinov2)
+    if model is None:
+        model = build_model(cfg, args.checkpoint, dinov2_path=args.dinov2)
     mesh = get_mesh()
     results_dict = predict(loader, model, mesh=mesh)
 
