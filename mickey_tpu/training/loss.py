@@ -115,8 +115,15 @@ def metric_pose_loss(
     lc: LossConfig,
     topk_pct: jnp.ndarray,  # traced scalar, curriculum percentage
     sample_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    _profile_stage: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Returns (total_loss, aux). jax.grad(total) == reference gradients."""
+    """Returns (total_loss, aux). jax.grad(total) == reference gradients.
+
+    ``_profile_stage`` is a profiling hook (tools/bench_loss_stages.py): stop
+    after a named stage ('sample' | 'inner_sample' | 'refine' | 'score' |
+    'pose_loss') and return a reduction of that stage's outputs, so cumulative
+    prefix timings decompose the monolithic forward exactly.
+    """
     B, N0, N1 = final_scores.shape
     it, R_it, S, C = lc.it_matches, lc.it_ransac, lc.num_samples_matches, lc.num_corr
 
@@ -165,6 +172,8 @@ def metric_pose_loss(
 
     X = backproject_3d(cor0, d0, K0[:, None])  # (B, it, S, 3)
     Y = backproject_3d(cor1, d1, K1[:, None])
+    if _profile_stage == "sample":
+        return jnp.sum(X) + jnp.sum(Y) + jnp.sum(weights), {}
 
     # -- inner sampling: (B, it, R_it, C) minimal sets ∝ weights
     if ridx is None:
@@ -174,6 +183,8 @@ def metric_pose_loss(
 
     # one-hot minimal-set masks (indices within a draw are distinct)
     minimal = jnp.sum(jax.nn.one_hot(ridx, S, dtype=jnp.float32), axis=-2)  # (B,it,R_it,S)
+    if _profile_stage == "inner_sample":
+        return jnp.sum(minimal), {}
 
     # -- refinement under stop_grad (reference loss_class.py:163-196)
     Xd = jax.lax.stop_gradient(X)[:, :, None]  # (B, it, 1, S, 3)
@@ -193,6 +204,8 @@ def metric_pose_loss(
         inliers_pre = jnp.where(do_ref, jnp.sum(inliers_ref, axis=-1), inliers_pre)
         inliers_final = jnp.where(do_ref[..., None], inliers, inliers_final)
         inliers = jnp.where(do_ref[..., None], inliers_ref, inliers)
+    if _profile_stage == "refine":
+        return jnp.sum(inliers_final) + jnp.sum(inliers), {}
 
     # -- grad-carrying re-solve with the final inlier sets (loss_class.py:199)
     sol = weighted_procrustes(
@@ -203,6 +216,8 @@ def metric_pose_loss(
 
     # -- hypothesis scores (grad-carrying, loss_class.py:226)
     score_k = soft_inlier_counting_3d(X[:, :, None], Y[:, :, None], R, t, th=lc.inlier_3d_th)[..., 0]
+    if _profile_stage == "score":
+        return jnp.sum(score_k), {}
 
     # -- per-hypothesis pose loss (loss_class.py:229)
     compute_loss = compute_pose_loss if lc.loss_function == "POSE_ERR" else compute_vcre_loss
@@ -217,6 +232,8 @@ def metric_pose_loss(
     loss_value_k = loss_value_k.reshape(B, it, R_it)
     loss_rot_k = loss_rot_k.reshape(B, it, R_it)
     loss_trans_k = loss_trans_k.reshape(B, it, R_it)
+    if _profile_stage == "pose_loss":
+        return jnp.sum(loss_value_k) + jnp.sum(loss_rot_k), {}
 
     # -- score-weighted aggregation (loss_class.py:238-248)
     w_soft = jax.nn.softmax(score_k / lc.score_temperature, axis=-1)

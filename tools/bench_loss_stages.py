@@ -1,21 +1,24 @@
-"""Stage-level decomposition of the training-loss forward on the TPU.
+"""Cumulative prefix decomposition of the training-loss forward on the TPU.
 
-Times the three phases of metric_pose_loss as separately-jitted programs at
-the production operating point (N=1938, budget 20x20x512, prefilter 4096):
+Round 2's hand-reconstructed stages summed to ~63 ms while the monolithic
+forward measured 130-160 ms — the reconstruction wasn't the real program.
+This version times PREFIXES of the actual ``metric_pose_loss`` (via its
+``_profile_stage`` hook), so consecutive differences decompose the monolith
+exactly:
 
-  sample: prefilter + batched outer Gumbel top-k + coordinate gathers +
-          backprojection + inner minimal-set sampling
-  refine: num_ref_steps x (weighted Procrustes + inlier counting) under
-          stop_grad over (B, it, R_it, S) point sets
-  score:  grad-carrying re-solve + soft inliers + VCRE losses + softmax
-          aggregation + surrogate
-
-Each stage returns one scalar (tunnel-safe timing); inputs vary per iter.
+  sample       prefilter + outer Gumbel draws + gathers + backprojection
+  inner_sample + inner minimal-set Gumbel draws + one-hot masks
+  refine       + num_ref_steps x (masked Procrustes + inlier counting)
+  score        + grad-carrying re-solve + soft inlier scores
+  pose_loss    + per-hypothesis VCRE/pose losses
+  full         + aggregation + curriculum mask + REINFORCE surrogate
+  grad         jax.grad of full (the real train-step cost)
 
 Usage: python tools/bench_loss_stages.py [--iters 5]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -36,16 +39,8 @@ def main():
     import jax.numpy as jnp
 
     from mickey_tpu.config import default_config
-    from mickey_tpu.geometry import (
-        inlier_counting_3d,
-        soft_inlier_counting_3d,
-        weighted_procrustes,
-    )
-    from mickey_tpu.geometry.projection import backproject_3d
     from mickey_tpu.geometry.rotations import quat2mat
-    from mickey_tpu.ops.sampling import gumbel_topk_sample
-    from mickey_tpu.training.loss import LossConfig, _take, _NEG_INF
-    from mickey_tpu.training.loss_utils import compute_vcre_loss
+    from mickey_tpu.training.loss import LossConfig, metric_pose_loss
     from mickey_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -53,7 +48,6 @@ def main():
     cfg = default_config()
     lc = LossConfig.from_cfg(cfg)
     B, N = args.batch, args.n
-    it, R_it, S, C = lc.it_matches, lc.it_ransac, lc.num_samples_matches, lc.num_corr
     rng = np.random.default_rng(0)
 
     fs = jnp.asarray((rng.uniform(0, 1, (B, N, N)) ** 8).astype(np.float32))
@@ -69,73 +63,54 @@ def main():
         T[b] = quat2mat(q / np.linalg.norm(q))
         tvec[b, 0] = rng.normal(size=3) * 0.3
     K, T, tvec = map(jnp.asarray, (K, T, tvec))
+    topk = jnp.float32(80.0)
 
-    def sample_stage(fs, key, eps):
-        fs = fs * (1 + eps)
-        matches = fs.reshape(B, N * N)
-        key_outer, key_inner = jax.random.split(key)
-        top_scores, top_idx = jax.lax.approx_max_k(matches, lc.prefilter, recall_target=0.95)
-        logw = jnp.where(top_scores > 0, jnp.log(jnp.maximum(top_scores, 1e-30)), _NEG_INF)
-        logw_all = jnp.broadcast_to(logw[None], (it,) + logw.shape)
-        idx = jnp.moveaxis(gumbel_topk_sample(key_outer, logw_all, S), 0, 1)
-        idx = jnp.take_along_axis(
-            top_idx.astype(jnp.int32), idx.reshape(B, it * S), axis=1
-        ).reshape(B, it, S)
-        idx0, idx1 = idx // N, idx % N
-        X = backproject_3d(_take(idx0, kps), _take(idx0, dep), K[:, None])
-        Y = backproject_3d(_take(idx1, kps), _take(idx1, dep), K[:, None])
-        w = _take(idx, matches[..., None])[..., 0]
-        logw_in = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)), _NEG_INF)
-        logw_in = jnp.broadcast_to(logw_in[:, :, None, :], (B, it, R_it, S))
-        ridx = gumbel_topk_sample(key_inner, logw_in, C)
-        return jnp.sum(X) + jnp.sum(Y) + jnp.sum(ridx), (X, Y, w, ridx, idx)
-
-    # fixed sampled tensors for the later stages (computed once)
-    _, (X, Y, w, ridx, idx) = jax.jit(lambda fs, key: sample_stage(fs, key, jnp.float32(0)))(
-        fs, jax.random.PRNGKey(0)
-    )
-    X, Y, ridx = map(jax.block_until_ready, (X, Y, ridx))
-
-    minimal0 = jnp.sum(jax.nn.one_hot(ridx, S, dtype=jnp.float32), axis=-2)
-
-    def refine_stage(X, Y, eps):
-        Xd, Yd = X[:, :, None] * (1 + eps), Y[:, :, None]
-        inliers = minimal0
-        for _ in range(lc.num_ref_steps):
-            sol = weighted_procrustes(Xd, Yd, w=inliers, use_weights=True, use_mask=True)
-            inliers = inlier_counting_3d(Xd, Yd, sol.R, sol.t, th=lc.inlier_ref_th)
-        return jnp.sum(inliers)
-
-    def score_stage(X, Y, eps):
-        Xe = X[:, :, None] * (1 + eps)
-        Ye = Y[:, :, None]
-        sol = weighted_procrustes(Xe, Ye, w=minimal0, use_weights=True, use_mask=True)
-        score_k = soft_inlier_counting_3d(Xe, Ye, sol.R, sol.t, th=lc.inlier_3d_th)[..., 0]
-        flat = lambda a: a.reshape((B * it * R_it,) + a.shape[3:])
-        tile = lambda a: jnp.broadcast_to(
-            a[:, None, None], (B, it, R_it) + a.shape[1:]
-        ).reshape((B * it * R_it,) + a.shape[1:])
-        lv, lr, lt = compute_vcre_loss(
-            flat(sol.R), flat(sol.t), tile(T), tile(tvec), tile(K), tile(K),
-            soft_clipping=lc.soft_clipping,
+    @functools.partial(jax.jit, static_argnames=("stage",))
+    def prefix(fs, key, eps, stage):
+        total, _ = metric_pose_loss(
+            fs * (1 + eps), kps, dep, kps, dep, K, K, K, K, T, tvec, key, lc, topk,
+            _profile_stage=stage,
         )
-        lv = lv.reshape(B, it, R_it)
-        wsoft = jax.nn.softmax(score_k / lc.score_temperature, axis=-1)
-        return jnp.sum(lv * wsoft)
+        return total
 
-    stages = [
-        ("sample", jax.jit(lambda fs, key, eps: sample_stage(fs, key, eps)[0]),
-         lambda i: (fs, jax.random.fold_in(jax.random.PRNGKey(0), i), jnp.float32(1e-9 * i))),
-        ("refine", jax.jit(refine_stage), lambda i: (X, Y, jnp.float32(1e-9 * i))),
-        ("score", jax.jit(score_stage), lambda i: (X, Y, jnp.float32(1e-9 * i))),
-    ]
-    for name, f, mk in stages:
-        v = float(f(*mk(0)))
+    @jax.jit
+    def grad_fs(fs, key, eps):
+        def f(fs_in):
+            total, _ = metric_pose_loss(
+                fs_in, kps, dep, kps, dep, K, K, K, K, T, tvec, key, lc, topk
+            )
+            return total
+
+        return jnp.sum(jnp.abs(jax.grad(f)(fs * (1 + eps))))
+
+    key0 = jax.random.PRNGKey(0)
+    order = ["sample", "inner_sample", "refine", "score", "pose_loss", None]
+    times = {}
+    for stage in order:
+        name = stage or "full"
+        fn = lambda i, stage=stage: float(
+            prefix(fs, jax.random.fold_in(key0, i), jnp.float32(1e-9 * i), stage)
+        )
+        v = fn(0)  # compile
         t0 = time.perf_counter()
         for i in range(args.iters):
-            v = float(f(*mk(i + 1)))
+            v = fn(i + 1)
         dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:8s} {dt*1e3:8.1f} ms/batch-{B}  v={v:.3e}", flush=True)
+        times[name] = dt
+        print(f"{name:12s} {dt*1e3:8.1f} ms/batch-{B}  v={v:.3e}", flush=True)
+
+    v = float(grad_fs(fs, key0, jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        v = float(grad_fs(fs, jax.random.fold_in(key0, i), jnp.float32(1e-9 * i)))
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"{'grad':12s} {dt*1e3:8.1f} ms/batch-{B}  v={v:.3e}", flush=True)
+
+    print("\n== per-stage deltas (cumulative prefixes) ==", flush=True)
+    prev = 0.0
+    for name in ["sample", "inner_sample", "refine", "score", "pose_loss", "full"]:
+        print(f"{name:12s} +{(times[name]-prev)*1e3:7.1f} ms", flush=True)
+        prev = times[name]
 
 
 if __name__ == "__main__":
