@@ -131,6 +131,10 @@ def main():
                         help="render cameras + inlier point cloud to 3d_vis image")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     run_demo_inference(args)
 
 

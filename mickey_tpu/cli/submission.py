@@ -174,6 +174,10 @@ def main():
     parser.add_argument("--split", choices=("val", "test"), default="test")
     parser.add_argument("--batch_size", type=int, default=None)
     args = parser.parse_args()
+
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     eval_split(args)
 
 

@@ -71,6 +71,10 @@ def main():
     parser.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     train_model(args)
 
 

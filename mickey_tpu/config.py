@@ -241,6 +241,11 @@ def default_config() -> Config:
                 # fused RANSAC hypothesis scoring kernel (SURVEY §7 kernel 3):
                 # the (B, R, S) distance tensor never leaves VMEM
                 "USE_PALLAS_SCORING": True,
+                # bf16 conv compute (fp32 accumulation) in the keypoint heads
+                # on TPU; fp32 convs are MXU-emulated at ~1/3 rate. BN stats,
+                # residual adds and head outputs stay fp32.
+                "HEADS_BF16": True,
+                "HEADS_BF16_ON_CPU": False,  # test hook for the rounding path
                 # run Pallas kernels in interpret mode (CPU testing of the
                 # exact kernel code paths, e.g. the multichip dryrun)
                 "PALLAS_INTERPRET": False,

@@ -68,18 +68,34 @@ def conv2d_init(key, cin: int, cout: int, ksize: int, bias: bool = False) -> Par
     return p
 
 
-def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.ndarray:
-    """x: (B, H, W, Cin) -> (B, H', W', Cout)."""
-    w = p["w"].astype(x.dtype)
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+def conv2d(
+    p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME", compute_dtype=None
+) -> jnp.ndarray:
+    """x: (B, H, W, Cin) -> (B, H', W', Cout).
+
+    ``compute_dtype`` (e.g. bfloat16) rounds ONLY the matmul inputs; the MXU
+    accumulates fp32 and the output returns in x.dtype. fp32 convs on TPU are
+    MXU-emulated at ~1/3 rate, so single-pass bf16 with fp32 accumulation is
+    the fast path (heads measured ~44 TF/s fp32, BENCHLOG round 2)."""
+    if compute_dtype is not None and x.dtype != compute_dtype:
+        out = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "b" in p:
-        out = out + p["b"].astype(x.dtype)
+        out = out + p["b"].astype(out.dtype)
     return out
 
 

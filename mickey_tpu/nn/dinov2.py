@@ -294,10 +294,13 @@ def vit_forward_features(
     b, h, w, _ = images.shape
     h0, w0 = h // patch_size, w // patch_size
 
-    # patchify as reshape + einsum rather than a strided conv: XLA lowers the
-    # stride-14 conv to a ~1 TF/s path (35 ms/batch-16 measured, 12% of the
-    # whole backbone — tools/bench_backbone_profile.py round 3) while the
-    # identical contraction as a (B*P, 588)x(588, C) matmul rides the MXU.
+    # patchify as reshape + einsum: the identical contraction to the
+    # reference's stride-14 conv, expressed so it lowers to an MXU matmul by
+    # construction instead of relying on XLA's conv lowering. Same-process
+    # A/B on v5e measured parity with the conv (tools/bench_backbone_profile
+    # round 3: conv 48.0 / einsum 50.6 / flat matmul 49.9 ms standalone, all
+    # ~RTT-dominated; full backbone 296.4 conv vs 292.8 einsum — noise), so
+    # this is a lowering-robustness choice, not a measured win.
     x = images.astype(dtype).reshape(b, h0, patch_size, w0, patch_size, images.shape[-1])
     x = jnp.einsum("bipjqc,pqcd->bijd", x, params["patch_embed"]["w"].astype(dtype))
     x = x + params["patch_embed"]["b"].astype(dtype)

@@ -40,18 +40,32 @@ def basic_block_init(key, cin: int, cout: int, bn: bool = True) -> Params:
     return p
 
 
+def heads_conv_dtype(cfg):
+    """bf16 conv compute for the heads on TPU (fp32 accumulation; BN, residual
+    adds and head outputs stay fp32). fp32 convs are MXU-emulated at ~1/3
+    rate — the heads stage measured ~44 TF/s fp32 (BENCHLOG round 2). CPU
+    keeps fp32 so golden-parity tests bind bit-tight; HEADS_BF16_ON_CPU lets
+    tests exercise the rounding path."""
+    if not bool(cfg.TPU.get("HEADS_BF16", True)):
+        return None
+    if jax.default_backend() == "cpu" and not bool(cfg.TPU.get("HEADS_BF16_ON_CPU", False)):
+        return None
+    return jnp.bfloat16
+
+
 def basic_block_apply(
-    p: Params, x: jnp.ndarray, relu: bool = True, train: bool = False, axis_name=None
+    p: Params, x: jnp.ndarray, relu: bool = True, train: bool = False, axis_name=None,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Pre-activation-style block (extractor_utils.py:28-35):
     out = [relu](bn2(conv2(relu(bn1(conv1(x))))) + shortcut(x))."""
     new_p = dict(p)
-    shortcut = conv2d(p["shortcut"], x) if "shortcut" in p else x
-    out = conv2d(p["conv1"], x)
+    shortcut = conv2d(p["shortcut"], x, compute_dtype=compute_dtype) if "shortcut" in p else x
+    out = conv2d(p["conv1"], x, compute_dtype=compute_dtype)
     if "bn1" in p:
         out, new_p["bn1"] = batchnorm(p["bn1"], out, train=train, axis_name=axis_name)
     out = jax.nn.relu(out)
-    out = conv2d(p["conv2"], out)
+    out = conv2d(p["conv2"], out, compute_dtype=compute_dtype)
     if "bn2" in p:
         out, new_p["bn2"] = batchnorm(p["bn2"], out, train=train, axis_name=axis_name)
     out = out + shortcut
@@ -77,15 +91,17 @@ def _head_init(key, in_channels: int, block_dims, last_dim: int, bn: bool, out_c
 
 
 def _head_trunk(
-    p: Params, fmap: jnp.ndarray, add_pos_enc: bool, last_relu: bool, train: bool, axis_name
+    p: Params, fmap: jnp.ndarray, add_pos_enc: bool, last_relu: bool, train: bool, axis_name,
+    compute_dtype=None,
 ) -> Tuple[jnp.ndarray, Params]:
     new_p = dict(p)
-    x, new_p["resblock1"] = basic_block_apply(p["resblock1"], fmap, train=train, axis_name=axis_name)
-    x, new_p["resblock2"] = basic_block_apply(p["resblock2"], x, train=train, axis_name=axis_name)
-    x, new_p["resblock3"] = basic_block_apply(p["resblock3"], x, train=train, axis_name=axis_name)
+    cd = compute_dtype
+    x, new_p["resblock1"] = basic_block_apply(p["resblock1"], fmap, train=train, axis_name=axis_name, compute_dtype=cd)
+    x, new_p["resblock2"] = basic_block_apply(p["resblock2"], x, train=train, axis_name=axis_name, compute_dtype=cd)
+    x, new_p["resblock3"] = basic_block_apply(p["resblock3"], x, train=train, axis_name=axis_name, compute_dtype=cd)
     x = self_attention_transformer(p["att"], x, add_pos_enc=add_pos_enc)
     x, new_p["resblock4"] = basic_block_apply(
-        p["resblock4"], x, relu=last_relu, train=train, axis_name=axis_name
+        p["resblock4"], x, relu=last_relu, train=train, axis_name=axis_name, compute_dtype=cd
     )
     return x, new_p
 
@@ -114,7 +130,8 @@ def det_head_apply(p: Params, fmap, cfg, train=False, axis_name=None):
     """Score map (B, H, W, 1), image-wide tempered softmax with 3-cell border
     masking (mickey_extractor.py:112-142)."""
     mk = cfg.MICKEY
-    x, new_p = _head_trunk(p, fmap, mk.KP_HEADS.POS_ENCODING, True, train, axis_name)
+    x, new_p = _head_trunk(p, fmap, mk.KP_HEADS.POS_ENCODING, True, train, axis_name,
+                           compute_dtype=heads_conv_dtype(cfg))
     scores = conv2d(p["out"], x)
     b = scores.shape[0]
     eps = 1e-16
@@ -143,7 +160,8 @@ def offset_head_apply(p: Params, fmap, cfg, train=False, axis_name=None):
     """Sigmoid xy offset in [0, 1] patch units, (B, H, W, 2)
     (mickey_extractor.py:164-178)."""
     mk = cfg.MICKEY
-    x, new_p = _head_trunk(p, fmap, mk.KP_HEADS.POS_ENCODING, True, train, axis_name)
+    x, new_p = _head_trunk(p, fmap, mk.KP_HEADS.POS_ENCODING, True, train, axis_name,
+                           compute_dtype=heads_conv_dtype(cfg))
     return jax.nn.sigmoid(conv2d(p["out"], x)), new_p
 
 
@@ -158,7 +176,8 @@ def depth_head_init(key, cfg) -> Params:
 def depth_head_apply(p: Params, fmap, cfg, train=False, axis_name=None):
     """Metric depth map (B, H, W, 1) (mickey_extractor.py:203-218)."""
     mk = cfg.MICKEY
-    x, new_p = _head_trunk(p, fmap, mk.KP_HEADS.POS_ENCODING, True, train, axis_name)
+    x, new_p = _head_trunk(p, fmap, mk.KP_HEADS.POS_ENCODING, True, train, axis_name,
+                           compute_dtype=heads_conv_dtype(cfg))
     depths = conv2d(p["out"], x)
     if mk.KP_HEADS.USE_DEPTHSIGMOID:
         depths = mk.KP_HEADS.MAX_DEPTH * jax.nn.sigmoid(depths)
@@ -179,7 +198,8 @@ def desc_head_apply(p: Params, fmap, cfg, train=False, axis_name=None):
     """L2-normalized descriptors (B, H, W, 128); final block without ReLU
     (mickey_extractor.py:240-251)."""
     mk = cfg.MICKEY
-    x, new_p = _head_trunk(p, fmap, mk.DSC_HEAD.POS_ENCODING, False, train, axis_name)
+    x, new_p = _head_trunk(p, fmap, mk.DSC_HEAD.POS_ENCODING, False, train, axis_name,
+                           compute_dtype=heads_conv_dtype(cfg))
     if mk.DSC_HEAD.NORM_DSC:
         x = x / jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-10)
     return x, new_p

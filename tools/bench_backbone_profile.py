@@ -194,6 +194,24 @@ def main():
         return jnp.sum(x.astype(jnp.float32))
 
     @jax.jit
+    def patch_embed_einsum(params, images, eps):
+        x = (images + eps).astype(jnp.bfloat16)
+        h0, w0 = H // 14, W // 14
+        x = x.reshape(B, h0, 14, w0, 14, 3)
+        x = jnp.einsum("bipjqc,pqcd->bijd", x, params["patch_embed"]["w"].astype(jnp.bfloat16))
+        return jnp.sum(x.astype(jnp.float32))
+
+    @jax.jit
+    def patch_embed_gather_mm(params, images, eps):
+        # row-major patch extraction via reshape/transpose then ONE (BP, 588)
+        # x (588, C) matmul
+        x = (images + eps).astype(jnp.bfloat16)
+        h0, w0 = H // 14, W // 14
+        x = x.reshape(B, h0, 14, w0, 14, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B * h0 * w0, 588)
+        w = params["patch_embed"]["w"].astype(jnp.bfloat16).reshape(588, -1)
+        return jnp.sum((x @ w).astype(jnp.float32))
+
+    @jax.jit
     def backbone_prod(params, images, eps):
         f = dv.vit_features_chw(params, images + eps, use_pallas=True,
                                 attn_blocks=(512, 2048), scan_unroll=2)
@@ -205,6 +223,8 @@ def main():
         ("backbone_noattn", lambda p, im, e: backbone_variant(p, im, e, "f32", "skip")),
         ("backbone_lnbf16", lambda p, im, e: backbone_variant(p, im, e, "bf16", "kernel")),
         ("patch_embed", patch_embed_only),
+        ("patch_embed_einsum", patch_embed_einsum),
+        ("patch_embed_gather_mm", patch_embed_gather_mm),
     ]
     for name, fn in variants:
         if name in skip:

@@ -95,6 +95,20 @@ def main():
 
     t_m = timeit("matcher", match_fn)
 
+    # same-process A/B of bf16 conv compute in the heads (round 3)
+    import copy
+
+    cfg_hab = copy.deepcopy(cfg)
+    cfg_hab.TPU.HEADS_BF16 = not bool(cfg.TPU.get("HEADS_BF16", True))
+    rp._CFG_REGISTRY[id(cfg_hab)] = cfg_hab
+    hvariant = "on" if cfg_hab.TPU.HEADS_BF16 else "off"
+
+    def heads_ab_fn(i):
+        k, d, s, c = rp._heads_jit(params, fmap + jnp.float32(1e-9 * i), id(cfg_hab))
+        return hsum(s)
+
+    timeit(f"heads[bf16_{hvariant}]", heads_ab_fn)
+
     def solver_fn(i):
         e = estimate_pose_from_cfg(jax.random.fold_in(key, i), corr, K, K, cfg)
         return hsum(e.confidence)
@@ -102,8 +116,6 @@ def main():
     t_s = timeit("solver", solver_fn)
 
     # same-process A/B of the fused hypothesis-scoring kernel (round 3)
-    import copy
-
     cfg_noscore = copy.deepcopy(cfg)
     cfg_noscore.TPU.USE_PALLAS_SCORING = not bool(cfg.TPU.get("USE_PALLAS_SCORING", True))
     variant = "on" if cfg_noscore.TPU.USE_PALLAS_SCORING else "off"
