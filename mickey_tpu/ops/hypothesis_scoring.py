@@ -34,8 +34,12 @@ def _scoring_kernel(xt_ref, yt_ref, r_ref, t_ref, o_ref, *, th: float):
     """One batch element: soft-count inliers for all R_pad hypotheses.
 
     xt_ref/yt_ref: (1, 3, S) component-major point clouds; r_ref:
-    (1, R_pad, 9) row-major rotations; t_ref: (1, R_pad, 3); o_ref:
-    (1, R_pad) soft inlier counts.
+    (1, R_pad, 9) row-major rotations; t_ref: (1, R_pad, 3); o_ref: the FULL
+    (B, R_pad) soft-inlier output — its block is the whole array (a
+    (1, R_pad) per-program block would break the Mosaic sublane rule: the
+    second-minor block dim must be 8-divisible or equal to the array dim,
+    which interpret mode does not check); each program stores its own row
+    at pl.program_id(0).
     """
     beta = 5.0 / th
     acc = None
@@ -48,7 +52,7 @@ def _scoring_kernel(xt_ref, yt_ref, r_ref, t_ref, o_ref, *, th: float):
         acc = sq if acc is None else acc + sq
     dist = jnp.sqrt(acc + 1e-6)  # the reference's +1e-6 (training_utils.py:57)
     scores = jax.nn.sigmoid(beta * (th - dist))
-    o_ref[0] = jnp.sum(scores, axis=1)
+    o_ref[pl.ds(pl.program_id(0), 1), :] = jnp.sum(scores, axis=1)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("th", "interpret"))
@@ -88,7 +92,7 @@ def fused_hypothesis_scores(
             pl.BlockSpec((1, r_pad, 9), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_pad, 3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r_pad), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((B, r_pad), lambda b: (0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=30 * B * r_pad * S,
             bytes_accessed=(2 * 3 * S + r_pad * 12 + r_pad) * B * 4,
