@@ -241,10 +241,13 @@ def default_config() -> Config:
                 # fused RANSAC hypothesis scoring kernel (SURVEY §7 kernel 3):
                 # the (B, R, S) distance tensor never leaves VMEM
                 "USE_PALLAS_SCORING": True,
-                # bf16 conv compute (fp32 accumulation) in the keypoint heads
-                # on TPU; fp32 convs are MXU-emulated at ~1/3 rate. BN stats,
-                # residual adds and head outputs stay fp32.
-                "HEADS_BF16": True,
+                # bf16 conv compute (fp32 accumulation) in the keypoint heads.
+                # Default OFF: XLA already runs fp32 convs through single-pass
+                # bf16 MXU dots at default precision, and the explicit
+                # rounding measured slightly SLOWER (cast ops; heads 30.5 vs
+                # 25.5 ms/batch-8 same-process, BENCHLOG round 3). Knob kept
+                # for precision experiments.
+                "HEADS_BF16": False,
                 "HEADS_BF16_ON_CPU": False,  # test hook for the rounding path
                 # run Pallas kernels in interpret mode (CPU testing of the
                 # exact kernel code paths, e.g. the multichip dryrun)

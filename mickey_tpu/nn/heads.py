@@ -41,12 +41,13 @@ def basic_block_init(key, cin: int, cout: int, bn: bool = True) -> Params:
 
 
 def heads_conv_dtype(cfg):
-    """bf16 conv compute for the heads on TPU (fp32 accumulation; BN, residual
-    adds and head outputs stay fp32). fp32 convs are MXU-emulated at ~1/3
-    rate — the heads stage measured ~44 TF/s fp32 (BENCHLOG round 2). CPU
-    keeps fp32 so golden-parity tests bind bit-tight; HEADS_BF16_ON_CPU lets
-    tests exercise the rounding path."""
-    if not bool(cfg.TPU.get("HEADS_BF16", True)):
+    """bf16 conv compute for the heads (fp32 accumulation; BN, residual adds
+    and head outputs stay fp32). Default OFF: XLA already lowers fp32 convs
+    to single-pass bf16 MXU dots at default precision, so explicit rounding
+    only adds casts (measured slightly slower, BENCHLOG round 3). CPU keeps
+    fp32 so golden-parity tests bind bit-tight; HEADS_BF16_ON_CPU lets tests
+    exercise the rounding path."""
+    if not bool(cfg.TPU.get("HEADS_BF16", False)):
         return None
     if jax.default_backend() == "cpu" and not bool(cfg.TPU.get("HEADS_BF16_ON_CPU", False)):
         return None

@@ -31,13 +31,17 @@ def _small_cfg(bf16_on_cpu: bool):
     cfg.MICKEY.KP_HEADS.BLOCKS_DIM = [48, 32, 32, 16]
     cfg.MICKEY.DSC_HEAD.LAST_DIM = 16
     cfg.TPU.HEADS_BF16_ON_CPU = bf16_on_cpu
+    if bf16_on_cpu:
+        cfg.TPU.HEADS_BF16 = True
     return cfg
 
 
 class TestHeadsBf16:
     def test_dtype_gate(self):
-        assert heads_conv_dtype(_small_cfg(False)) is None  # CPU default: fp32
-        assert heads_conv_dtype(_small_cfg(True)) == jnp.bfloat16
+        assert heads_conv_dtype(_small_cfg(False)) is None  # default: fp32
+        on = _small_cfg(True)
+        on.TPU.HEADS_BF16 = True
+        assert heads_conv_dtype(on) == jnp.bfloat16
         off = _small_cfg(True)
         off.TPU.HEADS_BF16 = False
         assert heads_conv_dtype(off) is None
