@@ -73,10 +73,16 @@ POD_CHIPS = 8  # the north-star target is defined on a v5e-8 pod
 BATCH = int(os.environ.get("MICKEY_BENCH_BATCH", 16))
 H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
 ITERS = int(os.environ.get("MICKEY_BENCH_ITERS", 10))
-# Double-buffered serving (the cli/submission.py predict loop): batch i+1 is
-# dispatched before batch i's scalar is fetched, so the tunnel RTT overlaps
-# device compute. Every result is still host-fetched and finiteness-checked.
-PIPELINED = os.environ.get("MICKEY_BENCH_PIPELINED", "0") == "1"
+# Double-buffered serving (DEFAULT, round 3): batch i+1 is dispatched before
+# batch i's scalar is fetched, so the per-dispatch tunnel RTT overlaps device
+# compute. This is exactly how production serves (cli/submission.py's predict
+# loop double-buffers), and it makes the number robust to tunnel-RTT drift
+# (measured 28 -> ~48 ms between sessions, BENCHLOG round 3) which does not
+# exist off-tunnel. Every result is still host-fetched and finiteness-checked
+# each iteration, so execution cannot run ahead by more than one batch.
+# MICKEY_BENCH_PIPELINED=0 restores strict serialized timing (round-2 basis;
+# measured 22.4 vs 24.1 pipelined in the same session).
+PIPELINED = os.environ.get("MICKEY_BENCH_PIPELINED", "1") == "1"
 
 
 def main():
