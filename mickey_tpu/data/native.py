@@ -71,7 +71,11 @@ def decode_resize_batch(
 
 
 def read_batch(paths, width: int, height: int, num_threads: int = 8) -> Optional[np.ndarray]:
-    """Read + decode + resize a batch of JPEG files natively; (B, H, W, 3) f32."""
+    """Read + decode + resize a batch of JPEG files natively; (B, H, W, 3) f32.
+
+    ``num_threads`` is clamped to the host's CPU count: oversubscribing a
+    small host is pathological, not just wasteful (on a 1-core VM, 8 decode
+    threads measured 15-100x slower than 1 — BENCHLOG round 3)."""
     mod = ensure_built()
     if mod is None:
         return None
@@ -79,4 +83,5 @@ def read_batch(paths, width: int, height: int, num_threads: int = 8) -> Optional
     for p in paths:
         with open(p, "rb") as f:
             blobs.append(f.read())
-    return mod.decode_resize_batch(blobs, width, height, num_threads=num_threads)
+    threads = max(1, min(num_threads, os.cpu_count() or 1))
+    return mod.decode_resize_batch(blobs, width, height, num_threads=threads)
