@@ -248,6 +248,9 @@ def default_config() -> Config:
                 # 25.5 ms/batch-8 same-process, BENCHLOG round 3). Knob kept
                 # for precision experiments.
                 "HEADS_BF16": False,
+                # two-program train step split at the frozen-backbone
+                # boundary (training/train_step.py::make_staged_train_step)
+                "STAGED_TRAIN": True,
                 "HEADS_BF16_ON_CPU": False,  # test hook for the rounding path
                 # run Pallas kernels in interpret mode (CPU testing of the
                 # exact kernel code paths, e.g. the multichip dryrun)

@@ -21,7 +21,12 @@ import numpy as np
 from ..evaluation.pose_io import precision_recall
 from ..parallel import batch_sharding, get_mesh, mesh_tp, pad_batch, replicate, shard_backbone
 from ..training.checkpoint import restore_checkpoint, save_checkpoint
-from ..training.train_step import init_train_state, make_train_step, make_val_step
+from ..training.train_step import (
+    init_train_state,
+    make_staged_train_step,
+    make_train_step,
+    make_val_step,
+)
 from ..nn.extractor import model_init
 
 _BATCH_KEYS = ("image0", "image1", "T_0to1", "K_color0", "K_color1", "Kori_color0", "Kori_color1")
@@ -51,7 +56,13 @@ class MicKeyTrainer:
         self.backbone = shard_backbone(self.mesh, backbone)
 
         tp_mesh = self.mesh if mesh_tp(self.mesh) > 1 else None
-        self.train_step = make_train_step(cfg, mesh=tp_mesh)
+        # staged (two-program) step by default: identical math, shares the
+        # inference backbone program, measured faster than the monolith
+        # (BENCHLOG round 3); cfg.TPU.STAGED_TRAIN=False restores one program
+        make_step = (
+            make_staged_train_step if cfg.TPU.get("STAGED_TRAIN", True) else make_train_step
+        )
+        self.train_step = make_step(cfg, mesh=tp_mesh)
         self.val_step = make_val_step(cfg, mesh=tp_mesh)
         self.key = jax.random.PRNGKey(seed + 1)
 

@@ -167,6 +167,7 @@ def compute_correspondences(
     train: bool = False,
     axis_name=None,
     mesh=None,
+    fmap: jnp.ndarray = None,
 ) -> Tuple[Correspondences, Params]:
     """Run the extractor on both images and build the match matrices.
 
@@ -177,12 +178,22 @@ def compute_correspondences(
     are therefore computed over the stacked 2B images rather than per B-image
     pass — a strictly larger-sample estimate of the same statistics. Eval mode
     (running stats) is bit-comparable; see tests/test_parity_full_model.py.
+
+    ``fmap``: optional precomputed (2B, H/df, W/df, C) backbone feature map
+    (image0-rows then image1-rows). The backbone is frozen (stop_gradient),
+    so callers may run it as a SEPARATE jitted program and feed its output
+    here — mathematically identical, and the staged train step
+    (training/train_step.py::make_staged_train_step) uses exactly this to
+    share the inference backbone program and avoid monolith scheduling
+    pathologies (BENCHLOG round 3).
     """
     df = cfg.MICKEY.DINOV2.DOWN_FACTOR
     b = image0.shape[0]
-    stacked = jnp.concatenate([image0, image1], axis=0)
-    (kpts, depths, scores, descs), new_params = extract_features(
-        params, stacked, cfg, train=train, axis_name=axis_name, mesh=mesh
+    if fmap is None:
+        stacked = jnp.concatenate([image0, image1], axis=0)
+        fmap = backbone_features(params, stacked, cfg, mesh=mesh)
+    (kpts, depths, scores, descs), new_params = heads_apply(
+        params, fmap, cfg, train=train, axis_name=axis_name
     )
     kpts = absolute_kpt_coordinates(kpts, df)
     (k0, k1), (d0, d1), (s0, s1), (c0, c1) = (

@@ -140,6 +140,70 @@ def make_train_step(cfg, mesh=None):
     return train_step
 
 
+def make_staged_train_step(cfg, mesh=None):
+    """Two-program train step, split at the frozen-backbone boundary.
+
+    The backbone carries no gradient (stop_gradient in backbone_features), so
+    stage 1 — the DINOv2 forward on the stacked 2B images — is its own jitted
+    program (the SAME HLO as the staged inference backbone, so the persistent
+    compile cache shares it), and stage 2 jits grad(heads+matcher+loss) on
+    the precomputed feature map + the Adam update. Mathematically identical
+    to make_train_step (tests/test_training.py locks it); measured faster:
+    the monolithic program scheduled ~140 ms worse than its parts sum
+    (BENCHLOG round 3). External signature matches make_train_step's step fn.
+    """
+    from ..nn.extractor import backbone_features
+
+    lc = LossConfig.from_cfg(cfg)
+    optimizer = make_optimizer(cfg)
+
+    @jax.jit
+    def backbone_fwd(backbone, image0, image1):
+        stacked = jnp.concatenate([image0, image1], axis=0)
+        return backbone_features({"dinov2": backbone}, stacked, cfg, mesh=mesh)
+
+    def loss_fn(trainable, fmap, batch, key, topk_pct):
+        corr, new_trainable = compute_correspondences(
+            trainable, batch["image0"], batch["image1"], cfg, train=True,
+            mesh=mesh, fmap=fmap,
+        )
+        final_scores = corr.scores * corr.kp_scores
+        Rgt = batch["T_0to1"][:, :3, :3]
+        tgt = batch["T_0to1"][:, :3, 3][:, None, :]
+        total, aux = metric_pose_loss(
+            final_scores, corr.kps0, corr.depth0, corr.kps1, corr.depth1,
+            batch["K_color0"], batch["K_color1"],
+            batch["Kori_color0"], batch["Kori_color1"],
+            Rgt, tgt, key, lc, topk_pct,
+        )
+        return total, (aux, new_trainable)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def grad_step(state: TrainState, fmap, batch, key, topk_pct):
+        (_, (aux, fwd_params)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, fmap, batch, key, topk_pct
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_params = _copy_bn_stats(new_params, fwd_params)
+        gnorm = optax.global_norm(grads)
+        metrics = {
+            "loss": aux["avg_loss"],
+            "loss_rot": aux["avg_loss_rot"],
+            "loss_trans": aux["avg_loss_trans"],
+            "grad_norm": gnorm,
+            "grads_finite": jnp.isfinite(gnorm),
+            "num_valid": aux["num_valid"],
+        }
+        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+    def train_step(state: TrainState, backbone, batch, key, topk_pct):
+        fmap = backbone_fwd(backbone, batch["image0"], batch["image1"])
+        return grad_step(state, fmap, batch, key, topk_pct)
+
+    return train_step
+
+
 def make_val_step(cfg, mesh=None):
     """Validation: eval-mode forward + loss metrics + full inference solver +
     pose/VCRE errors (reference validation_step, model.py:66-89)."""

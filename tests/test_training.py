@@ -225,3 +225,47 @@ class TestDinov2Bootstrap:
         monkeypatch.delenv("MICKEY_DINOV2_PATH", raising=False)
         monkeypatch.setenv("MICKEY_NO_DOWNLOAD", "1")
         assert resolve_dinov2_weights(download=True) is None
+
+
+class TestStagedTrainStep:
+    def test_staged_matches_monolith(self):
+        """make_staged_train_step == make_train_step exactly: the split is at
+        a stop_gradient boundary, so params, opt state, BN stats and metrics
+        must agree to fp tolerance after a step (and exactly in structure)."""
+        import jax.numpy as jnp
+
+        from mickey_tpu.nn.extractor import model_init
+        from mickey_tpu.training.train_step import (
+            init_train_state,
+            make_staged_train_step,
+            make_train_step,
+        )
+
+        cfg = train_cfg()
+        rng = np.random.default_rng(0)
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, B=2).items()}
+        params = model_init(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(7)
+        topk = jnp.float32(80.0)
+
+        outs = {}
+        for name, make in (("mono", make_train_step), ("staged", make_staged_train_step)):
+            # fresh buffers per variant: the steps donate their state arg
+            fresh = jax.tree_util.tree_map(jnp.array, params)
+            state, backbone = init_train_state(cfg, fresh)
+            step = make(cfg)
+            state, metrics = step(state, backbone, batch, key, topk)
+            state, metrics = step(state, backbone, batch, key, topk)
+            outs[name] = (state, metrics)
+
+        sm, mm = outs["staged"][1], outs["mono"][1]
+        assert float(mm["grads_finite"]) == 1.0
+        np.testing.assert_allclose(float(sm["loss"]), float(mm["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(sm["grad_norm"]), float(mm["grad_norm"]), rtol=1e-4
+        )
+        flat_s = jax.tree_util.tree_leaves(outs["staged"][0].params)
+        flat_m = jax.tree_util.tree_leaves(outs["mono"][0].params)
+        assert len(flat_s) == len(flat_m)
+        for a, b in zip(flat_s, flat_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)

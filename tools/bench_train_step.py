@@ -30,6 +30,8 @@ def main():
     parser.add_argument("--height", type=int, default=714)  # 720 cropped to /14
     parser.add_argument("--width", type=int, default=532)  # 540 cropped to /14
     parser.add_argument("--variant", default="vit_large")
+    parser.add_argument("--staged", action="store_true",
+                        help="two-program step (frozen-backbone split)")
     parser.add_argument(
         "--forward_only",
         action="store_true",
@@ -53,7 +55,11 @@ def main():
     from mickey_tpu.config import default_config
     from mickey_tpu.geometry.rotations import quat2mat
     from mickey_tpu.nn.extractor import model_init
-    from mickey_tpu.training.train_step import init_train_state, make_train_step
+    from mickey_tpu.training.train_step import (
+        init_train_state,
+        make_staged_train_step,
+        make_train_step,
+    )
 
     cfg = default_config()
     cfg.MICKEY.DINOV2.VARIANT = args.variant
@@ -99,7 +105,9 @@ def main():
 
         train_step.lower = lambda *a, **k: fwd_step.lower(state.params, *a[1:], **k)
     else:
-        train_step = make_train_step(cfg)
+        train_step = (
+            make_staged_train_step(cfg) if args.staged else make_train_step(cfg)
+        )
 
     rng = np.random.default_rng(0)
     T = np.zeros((B, 4, 4), np.float32)
