@@ -160,16 +160,27 @@ def main():
             print(f"# warmup attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
             time.sleep(15)
 
-    t0 = time.perf_counter()
+    # Per-iteration timings; the artifact reports the MEDIAN. The tunneled
+    # backend has multi-hundred-ms stall iterations whose frequency varies by
+    # service phase (BENCHLOG round 3: the same step measured 606 ms mean in
+    # one phase and 392 ms median in another, 20 min apart) — the median is
+    # the number that reproduces; per-iter times are recorded for audit.
+    iter_ms = []
     for i in range(args.iters):
         step_key = jax.random.fold_in(key, i)
         b2 = dict(batch, image0=batch["image0"] * (1.0 + 1e-9 * i))
+        t0 = time.perf_counter()
         state, metrics = train_step(state, backbone, b2, step_key, topk)
         loss = float(metrics["loss"])  # scalar fetch = sync point
+        iter_ms.append((time.perf_counter() - t0) * 1e3)
         assert np.isfinite(loss), metrics
-    dt = (time.perf_counter() - t0) / args.iters
+    med = float(np.median(iter_ms))
+    dt = med / 1e3
 
-    line = f"train_step {dt*1e3:9.2f} ms   ({B/dt:6.2f} pairs/s/chip)"
+    line = (
+        f"train_step median {med:9.2f} ms  mean {np.mean(iter_ms):9.2f} ms"
+        f"   ({B/dt:6.2f} pairs/s/chip)"
+    )
     if flops:
         line += f"   ({flops/dt/1e12:6.1f} TFLOP/s effective)"
     print(line, flush=True)
@@ -182,7 +193,9 @@ def main():
             "value": round(B / dt, 3),
             "unit": "pairs/s",
             "batch": B,
-            "step_ms": round(dt * 1e3, 2),
+            "step_ms": round(med, 2),
+            "step_ms_mean": round(float(np.mean(iter_ms)), 2),
+            "iter_ms": [round(t, 1) for t in iter_ms],
         }
     )
     print(record, flush=True)
