@@ -104,6 +104,12 @@ def match_scores(
             if allow_fused:
                 from ..ops.fused_matcher import fused_dual_softmax
 
+                if cfg.TPU.get("MATCHER_BF16", False):
+                    # inference-only: halve descriptor traffic + single-pass
+                    # MXU correlation; pose/confidence-level parity gated in
+                    # tests/test_fused_matcher.py::test_bf16_descriptor_gate
+                    dsc0 = dsc0.astype(jnp.bfloat16)
+                    dsc1 = dsc1.astype(jnp.bfloat16)
                 return fused_dual_softmax(dsc0, dsc1, dustbin, **kw)
             if cfg.TPU.get("USE_PALLAS_MATCHER_GRAD", True):
                 from ..ops.fused_matcher import fused_dual_softmax_vjp

@@ -52,15 +52,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _corr_block(dsc0_ref, dsc1_ref, inv_temp: float) -> jnp.ndarray:
-    d0 = dsc0_ref[0].astype(jnp.float32)  # (block_m, C)
-    d1 = dsc1_ref[0].astype(jnp.float32)  # (N_pad, C)
-    # HIGHEST matches the dense path's precision (nn/matcher.py) — the MXU
-    # default would truncate the f32 descriptors to bf16, and the 1/T=10
-    # scaling amplifies that into ~0.04 logit error
+    d0 = dsc0_ref[0]  # (block_m, C)
+    d1 = dsc1_ref[0]  # (N_pad, C)
+    if d0.dtype == jnp.bfloat16:
+        # bf16 descriptor mode (cfg.TPU.MATCHER_BF16): the operands are
+        # already rounded to bf16 upstream, so a single MXU pass with fp32
+        # accumulation is exact for them — HIGHEST would only decompose the
+        # same bf16 values into 3 passes for nothing. Halves descriptor VMEM
+        # traffic and cuts correlation MXU work 3x; the resulting ~0.04
+        # logit perturbation is gated at the pose/confidence level
+        # (tests/test_fused_matcher.py::test_bf16_descriptor_gate).
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        # HIGHEST matches the dense path's precision (nn/matcher.py) — the
+        # MXU default would truncate the f32 descriptors to bf16, and the
+        # 1/T=10 scaling amplifies that into ~0.04 logit error
+        d0 = d0.astype(jnp.float32)
+        d1 = d1.astype(jnp.float32)
+        precision = jax.lax.Precision.HIGHEST
     return (
         jax.lax.dot_general(
             d0, d1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         * inv_temp
     )

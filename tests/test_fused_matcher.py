@@ -101,6 +101,64 @@ def test_fused_vjp_matches_xla_grads(rng, use_dustbin, shape):
         assert float(g_f[2]) == 0.0
 
 
+def test_bf16_descriptor_gate(rng):
+    """Distribution-level gate for cfg.TPU.MATCHER_BF16 (VERDICT r2 item 9).
+
+    bf16 descriptors perturb the correlation logits by ~0.04 after the 1/T=10
+    scaling; this gate checks the perturbation is immaterial WHERE IT MATTERS:
+    the downstream RANSAC pose and soft-inlier confidence on a peaked,
+    geometry-consistent synthetic scene (the production regime — dual-softmax
+    match distributions are extremely peaked). Both variants must recover the
+    ground-truth pose, the mutual-argmax match structure must agree, and
+    confidences must agree to a few percent.
+    """
+    from test_ransac import SOLVER_KW, make_scene
+
+    from mickey_tpu.solver import estimate_pose
+
+    B, N, C = 2, 128, 128
+    inputs, (R_gt, t_gt) = make_scene(rng, B=B, N=N, outlier_frac=0.25)
+
+    # descriptors realizing the scene's i<->i correspondence with realistic
+    # (non-saturated) peaks: dsc1 is a noisy copy of dsc0, L2-normalized
+    d0 = rng.normal(size=(B, N, C)).astype(np.float32)
+    d1 = (d0 + 0.35 * rng.normal(size=(B, N, C))).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d0, d1 = jnp.asarray(d0), jnp.asarray(d1)
+
+    kw = dict(temperature=0.1, use_dustbin=True, block_m=128, interpret=True)
+    dustbin = jnp.float32(1.0)
+    s32 = fused_dual_softmax(d0, d1, dustbin, **kw)
+    s16 = fused_dual_softmax(
+        d0.astype(jnp.bfloat16), d1.astype(jnp.bfloat16), dustbin, **kw
+    )
+
+    # match structure: row/col argmaxes identical
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(s16, axis=2)), np.asarray(jnp.argmax(s32, axis=2))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(s16, axis=1)), np.asarray(jnp.argmax(s32, axis=1))
+    )
+
+    key = jax.random.PRNGKey(0)
+    geom = {k: v for k, v in inputs.items() if k != "final_scores"}
+    e32 = estimate_pose(key, final_scores=s32, **geom, **SOLVER_KW)
+    e16 = estimate_pose(key, final_scores=s16, **geom, **SOLVER_KW)
+
+    for est in (e32, e16):
+        assert bool(jnp.all(est.valid))
+        R, t = np.asarray(est.R), np.asarray(est.t)
+        for b in range(B):
+            cosang = (np.trace(R[b].T @ R_gt[b]) - 1) / 2
+            rot_err_deg = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+            assert rot_err_deg < 1.5, rot_err_deg
+            assert np.linalg.norm(t[b] - t_gt[b]) < 0.05
+    c32, c16 = np.asarray(e32.confidence), np.asarray(e16.confidence)
+    np.testing.assert_allclose(c16, c32, rtol=0.05)
+
+
 def test_fused_probability_mass(rng):
     """Scores stay in (0, 1] and behave like the dual-softmax product."""
     dsc0 = _descs(rng, 1, 64, 32)

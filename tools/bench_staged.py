@@ -63,11 +63,17 @@ def main():
 
     def timeit(name, fn):
         v = float(fn(0))  # warm
-        t0 = time.perf_counter()
+        ts = []
         for i in range(args.iters):
+            t0 = time.perf_counter()
             v = float(fn(i + 1))
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"{name:14s} {dt*1e3:8.1f} ms/batch-{B}  v={v:.2f}", flush=True)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))  # stall-phase robust (see bench.py note)
+        print(
+            f"{name:16s} {dt*1e3:8.1f} ms/batch-{B} (mean {1e3*np.mean(ts):7.1f})"
+            f"  v={v:.2f}",
+            flush=True,
+        )
         return dt
 
     @jax.jit
@@ -108,6 +114,21 @@ def main():
         return hsum(s)
 
     timeit(f"heads[bf16_{hvariant}]", heads_ab_fn)
+
+    # same-process A/B of bf16 matcher descriptors (round 3, VERDICT item 9)
+    cfg_mab = copy.deepcopy(cfg)
+    cfg_mab.TPU.MATCHER_BF16 = not bool(cfg.TPU.get("MATCHER_BF16", False))
+    rp._CFG_REGISTRY[id(cfg_mab)] = cfg_mab
+    mvariant = "on" if cfg_mab.TPU.MATCHER_BF16 else "off"
+
+    def match_ab_fn(i):
+        c = rp._match_jit(
+            params, kpts, depths, scores, descs + jnp.float32(1e-9 * i) * descs,
+            id(cfg_mab),
+        )
+        return hsum(c.scores[..., 0])
+
+    timeit(f"matcher[bf16_{mvariant}]", match_ab_fn)
 
     def solver_fn(i):
         e = estimate_pose_from_cfg(jax.random.fold_in(key, i), corr, K, K, cfg)
