@@ -40,6 +40,9 @@ def train_model(args):
     if args.config:
         cfg.merge_from_file(args.config)
 
+    if args.feature_cache:
+        cfg.TPU.FEATURE_CACHE = args.feature_cache
+
     exp_name = create_exp_name(args.experiment, cfg)
     print("Start training of " + exp_name)
 
@@ -70,6 +73,12 @@ def main():
     parser.add_argument("--path_weights", default="weights/")
     parser.add_argument("--resume", default=None, help="orbax checkpoint dir to resume from")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--feature_cache",
+        default="",
+        help="directory for the frozen-backbone feature cache (built on first "
+        "run): training skips the DINOv2 forward (training/feature_cache.py)",
+    )
     args = parser.parse_args()
 
     from ..utils.platform import apply_platform_env

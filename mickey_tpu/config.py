@@ -251,6 +251,16 @@ def default_config() -> Config:
                 # two-program train step split at the frozen-backbone
                 # boundary (training/train_step.py::make_staged_train_step)
                 "STAGED_TRAIN": True,
+                # directory of a frozen-backbone feature cache (built on
+                # first fit): training skips the DINOv2 forward entirely —
+                # valid because the backbone is frozen and the Map-free
+                # recipes use no augmentation (training/feature_cache.py).
+                # Empty = off.
+                "FEATURE_CACHE": "",
+                # 'bfloat16' halves disk + host->device traffic (rounds the
+                # fp32 feature map); 'float32' is bit-identical to the
+                # staged step
+                "FEATURE_CACHE_DTYPE": "bfloat16",
                 "HEADS_BF16_ON_CPU": False,  # test hook for the rounding path
                 # run Pallas kernels in interpret mode (CPU testing of the
                 # exact kernel code paths, e.g. the multichip dryrun)
@@ -271,6 +281,12 @@ def default_config() -> Config:
                 # additionally needs the analytic custom-VJP variant below)
                 "USE_PALLAS_MATCHER": True,
                 "USE_PALLAS_MATCHER_GRAD": True,
+                # bf16 descriptors into the fused matcher (inference only):
+                # halves descriptor traffic, single-pass MXU correlation
+                # (vs HIGHEST's 3-pass decomposition). Gated at the
+                # pose/confidence level (test_bf16_descriptor_gate); default
+                # per the on-chip A/B (BENCHLOG round 3).
+                "MATCHER_BF16": False,
                 "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
             },

@@ -67,9 +67,15 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         native_io: bool = True,
+        meta_only: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        # meta_only: batches carry pair metadata but NO decoded images —
+        # feature-cache training (training/feature_cache.py) reads backbone
+        # features from the cache and never touches the JPEGs, so the whole
+        # decode budget disappears from the training host-IO path
+        self.meta_only = meta_only
         self.sampler = sampler
         self.shuffle = shuffle
         self.drop_last = drop_last
@@ -143,6 +149,12 @@ class DataLoader:
             stop.set()
 
     def _load_batch(self, idxs: List[int]) -> Dict:
+        if self.meta_only:
+            samples = []
+            for i in idxs:
+                ds, local = self.dataset.locate(i)
+                samples.append(ds.sample_meta(local))
+            return collate(samples)
         batch = self._load_batch_rawcache(idxs)
         if batch is not None:
             return batch
@@ -235,6 +247,8 @@ class DataModule:
             sampler=self._sampler(dataset),
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
             native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
+            # feature-cache training never reads the JPEGs (see DataLoader)
+            meta_only=bool(self.cfg.TPU.get("FEATURE_CACHE", "")),
         )
 
     def val_dataloader(self) -> DataLoader:
@@ -273,6 +287,7 @@ class DataModuleTraining(DataModule):
             sampler=self._sampler(dataset, seed=self.seed),
             num_workers=self.cfg.TRAINING.NUM_WORKERS,
             native_io=self.cfg.TRAINING.get("NATIVE_LOADER", True),
+            meta_only=bool(self.cfg.TPU.get("FEATURE_CACHE", "")),
         )
 
     def val_dataloader(self) -> DataLoader:

@@ -66,6 +66,21 @@ class MicKeyTrainer:
         self.val_step = make_val_step(cfg, mesh=tp_mesh)
         self.key = jax.random.PRNGKey(seed + 1)
 
+        # frozen-backbone feature cache (training/feature_cache.py): train
+        # without the DINOv2 forward. Opened/built lazily in fit() (needs the
+        # dataset); validated here so misconfiguration fails at construction.
+        self.feature_cache = None
+        self._cache_path = str(cfg.TPU.get("FEATURE_CACHE", "") or "")
+        if self._cache_path:
+            if not cfg.TPU.get("STAGED_TRAIN", True):
+                raise ValueError("TPU.FEATURE_CACHE requires TPU.STAGED_TRAIN")
+            if cfg.DATASET.get("AUGMENTATION_TYPE") not in (None, "None", "none"):
+                raise ValueError(
+                    "TPU.FEATURE_CACHE requires DATASET.AUGMENTATION_TYPE=None: "
+                    "augmented images change per epoch, cached frozen-backbone "
+                    "features would be stale"
+                )
+
         # curriculum (reference model.py:37-40)
         self.curriculum = cfg.LOSS_CLASS.CURRICULUM_LEARNING.TRAIN_CURRICULUM
         self.topk = float(cfg.LOSS_CLASS.CURRICULUM_LEARNING.TOPK_INIT)
@@ -105,13 +120,46 @@ class MicKeyTrainer:
         return jax.device_put(arrays, batch_sharding(self.mesh))
 
     def training_step(self, batch: Dict) -> Dict[str, float]:
-        db = self._device_batch(batch)
         self.key, sk = jax.random.split(self.key)
-        self.state, metrics = self.train_step(
-            self.state, self.backbone, db, sk, jnp.float32(self.topk)
-        )
+        if self.feature_cache is not None:
+            state, metrics = self._cached_step(batch, sk)
+        else:
+            db = self._device_batch(batch)
+            state, metrics = self.train_step(
+                self.state, self.backbone, db, sk, jnp.float32(self.topk)
+            )
+        self.state = state
         self.global_step += 1
         return {k: float(v) for k, v in metrics.items()}
+
+    def _cached_step(self, batch: Dict, sk):
+        """Train step on disk-cached frozen-backbone features: no backbone
+        forward, no image host->device transfer (training/feature_cache.py)."""
+        from pathlib import Path
+
+        arrays = {
+            k: batch[k] for k in _BATCH_KEYS
+            if k in batch and k not in ("image0", "image1")
+        }
+        n_dev = self.mesh.devices.size
+        arrays, real_b = pad_batch(arrays, n_dev)
+        b_pad = next(iter(arrays.values())).shape[0]
+        keys0 = [
+            str(Path(sr) / p[0])
+            for sr, p in zip(batch["scene_root"], batch["pair_names"])
+        ]
+        keys1 = [
+            str(Path(sr) / p[1])
+            for sr, p in zip(batch["scene_root"], batch["pair_names"])
+        ]
+        keys0 += keys0[-1:] * (b_pad - real_b)
+        keys1 += keys1[-1:] * (b_pad - real_b)
+        fmap = self.feature_cache.gather(keys0 + keys1)  # (2B, Hp, Wp, C)
+        db = jax.device_put(arrays, batch_sharding(self.mesh))
+        fmap = jax.device_put(fmap, batch_sharding(self.mesh))
+        return self.train_step.grad_step(
+            self.state, fmap, db, sk, jnp.float32(self.topk)
+        )
 
     def validation_step(self, batch: Dict) -> Dict[str, np.ndarray]:
         db = self._device_batch(batch)
@@ -275,6 +323,22 @@ class MicKeyTrainer:
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
 
+        if self._cache_path and self.feature_cache is None:
+            from ..training.feature_cache import FeatureCache, build_feature_cache
+
+            if FeatureCache.exists(self._cache_path):
+                self.feature_cache = FeatureCache(self._cache_path)
+            else:
+                print(f"building feature cache at {self._cache_path}", flush=True)
+                self.feature_cache = build_feature_cache(
+                    cfg,
+                    self.backbone,
+                    train_loader.dataset,
+                    self._cache_path,
+                    dtype=str(cfg.TPU.get("FEATURE_CACHE_DTYPE", "bfloat16")),
+                    log=lambda m: print(m, flush=True),
+                )
+
         for epoch in range(start_epoch, max_epochs):
             t_ep = time.time()
             for i, batch in enumerate(train_loader):
@@ -283,7 +347,7 @@ class MicKeyTrainer:
                     for k, v in metrics.items():
                         self.log_scalar(f"train/{k}", v)
                     self.log_scalar("train/topk", self.topk)
-                    if self.cfg.TPU.get("LOG_IMAGES", False):
+                    if self.cfg.TPU.get("LOG_IMAGES", False) and "image0" in batch:
                         self.log_training_images(batch)
                     print(
                         f"epoch {epoch} step {self.global_step} "

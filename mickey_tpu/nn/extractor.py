@@ -185,13 +185,21 @@ def compute_correspondences(
     here — mathematically identical, and the staged train step
     (training/train_step.py::make_staged_train_step) uses exactly this to
     share the inference backbone program and avoid monolith scheduling
-    pathologies (BENCHLOG round 3).
+    pathologies (BENCHLOG round 3). When ``fmap`` is given the images may be
+    None (they are otherwise unused) — the cached train step
+    (training/feature_cache.py) feeds disk-cached features and never ships
+    images at all.
     """
     df = cfg.MICKEY.DINOV2.DOWN_FACTOR
-    b = image0.shape[0]
     if fmap is None:
+        b = image0.shape[0]
         stacked = jnp.concatenate([image0, image1], axis=0)
         fmap = backbone_features(params, stacked, cfg, mesh=mesh)
+    else:
+        b = fmap.shape[0] // 2 if image0 is None else image0.shape[0]
+        # cached features may be stored rounded to bf16 (half the disk and
+        # host->device traffic); the heads always consume fp32
+        fmap = fmap.astype(jnp.float32)
     (kpts, depths, scores, descs), new_params = heads_apply(
         params, fmap, cfg, train=train, axis_name=axis_name
     )

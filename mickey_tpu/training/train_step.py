@@ -163,9 +163,11 @@ def make_staged_train_step(cfg, mesh=None):
         return backbone_features({"dinov2": backbone}, stacked, cfg, mesh=mesh)
 
     def loss_fn(trainable, fmap, batch, key, topk_pct):
+        # images are not used when fmap is given — so the same grad program
+        # serves both the staged step (batch still carries images; XLA drops
+        # the dead inputs) and the feature-cache step (batch has no images)
         corr, new_trainable = compute_correspondences(
-            trainable, batch["image0"], batch["image1"], cfg, train=True,
-            mesh=mesh, fmap=fmap,
+            trainable, None, None, cfg, train=True, mesh=mesh, fmap=fmap
         )
         final_scores = corr.scores * corr.kp_scores
         Rgt = batch["T_0to1"][:, :3, :3]
@@ -201,6 +203,11 @@ def make_staged_train_step(cfg, mesh=None):
         fmap = backbone_fwd(backbone, batch["image0"], batch["image1"])
         return grad_step(state, fmap, batch, key, topk_pct)
 
+    # exposed pieces: the feature-cache training path
+    # (training/feature_cache.py) calls grad_step directly with disk-cached
+    # features and an image-free batch; cache building reuses backbone_fwd
+    train_step.backbone_fwd = backbone_fwd
+    train_step.grad_step = grad_step
     return train_step
 
 

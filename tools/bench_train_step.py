@@ -185,6 +185,42 @@ def main():
         line += f"   ({flops/dt/1e12:6.1f} TFLOP/s effective)"
     print(line, flush=True)
 
+    # staged step: also time the grad-only program — the feature-cache
+    # training rate (training/feature_cache.py skips the frozen-backbone
+    # forward entirely; the grad program is already compiled at this point)
+    cached = {}
+    if args.staged and not args.forward_only:
+        fmap = train_step.backbone_fwd(backbone, batch["image0"], batch["image1"])
+        fmap.block_until_ready()
+        # reuse the batch pytree the staged loop already compiled grad_step
+        # for (its image entries are dead args in the grad program — XLA
+        # drops them), so this costs no extra tunnel compile; the image-free
+        # signature itself is covered by tests/test_feature_cache.py
+        state, metrics = train_step.grad_step(
+            state, fmap * (1.0 + 1e-12), batch, key, topk
+        )  # warm the fmap-perturbation multiply
+        float(metrics["loss"])
+        c_ms = []
+        for i in range(args.iters):
+            step_key = jax.random.fold_in(key, 1000 + i)
+            f2 = fmap * (1.0 + 1e-9 * i)
+            t0 = time.perf_counter()
+            state, metrics = train_step.grad_step(state, f2, batch, step_key, topk)
+            loss = float(metrics["loss"])
+            c_ms.append((time.perf_counter() - t0) * 1e3)
+            assert np.isfinite(loss), metrics
+        cmed = float(np.median(c_ms))
+        cached = {
+            "cached_step_ms": round(cmed, 2),
+            "cached_pairs_per_sec": round(B / (cmed / 1e3), 3),
+            "cached_iter_ms": [round(t, 1) for t in c_ms],
+        }
+        print(
+            f"cached_step median {cmed:9.2f} ms  mean {np.mean(c_ms):9.2f} ms"
+            f"   ({B/(cmed/1e3):6.2f} pairs/s/chip, feature-cache mode)",
+            flush=True,
+        )
+
     import json
 
     record = json.dumps(
@@ -196,6 +232,7 @@ def main():
             "step_ms": round(med, 2),
             "step_ms_mean": round(float(np.mean(iter_ms)), 2),
             "iter_ms": [round(t, 1) for t in iter_ms],
+            **cached,
         }
     )
     print(record, flush=True)
