@@ -85,6 +85,11 @@ class DataLoader:
         self.native_io = native_io
         self._native_batch = None  # lazily resolved decode backend
         self._epoch = 0
+        # set by the trainer after the cache is built/opened: meta-only
+        # batches then carry the gathered feature rows as batch["fmap"]
+        # ((2B, Hp, Wp, C), image0-rows then image1-rows), so the memmap
+        # reads happen in the prefetch workers, overlapped with compute
+        self.feature_cache = None
 
     def _native_usable(self) -> bool:
         """Native batch ingest applies when the extension builds, the dataset
@@ -154,7 +159,17 @@ class DataLoader:
             for i in idxs:
                 ds, local = self.dataset.locate(i)
                 samples.append(ds.sample_meta(local))
-            return collate(samples)
+            batch = collate(samples)
+            if self.feature_cache is not None:
+                from ..training.feature_cache import frame_key
+
+                keys = [
+                    frame_key(sr, p[half])
+                    for half in (0, 1)
+                    for sr, p in zip(batch["scene_root"], batch["pair_names"])
+                ]
+                batch["fmap"] = self.feature_cache.gather(keys)
+            return batch
         batch = self._load_batch_rawcache(idxs)
         if batch is not None:
             return batch

@@ -71,15 +71,13 @@ class MicKeyTrainer:
         # dataset); validated here so misconfiguration fails at construction.
         self.feature_cache = None
         self._cache_path = str(cfg.TPU.get("FEATURE_CACHE", "") or "")
+        self._tp_mesh = tp_mesh
         if self._cache_path:
             if not cfg.TPU.get("STAGED_TRAIN", True):
                 raise ValueError("TPU.FEATURE_CACHE requires TPU.STAGED_TRAIN")
-            if cfg.DATASET.get("AUGMENTATION_TYPE") not in (None, "None", "none"):
-                raise ValueError(
-                    "TPU.FEATURE_CACHE requires DATASET.AUGMENTATION_TYPE=None: "
-                    "augmented images change per epoch, cached frozen-backbone "
-                    "features would be stale"
-                )
+            from ..training.feature_cache import check_cfg_cacheable
+
+            check_cfg_cacheable(cfg)
 
         # curriculum (reference model.py:37-40)
         self.curriculum = cfg.LOSS_CLASS.CURRICULUM_LEARNING.TRAIN_CURRICULUM
@@ -134,8 +132,11 @@ class MicKeyTrainer:
 
     def _cached_step(self, batch: Dict, sk):
         """Train step on disk-cached frozen-backbone features: no backbone
-        forward, no image host->device transfer (training/feature_cache.py)."""
-        from pathlib import Path
+        forward, no image host->device transfer (training/feature_cache.py).
+        The loader's prefetch threads normally supply batch['fmap'] (overlap
+        with compute); the inline gather is the fallback for hand-built
+        batches."""
+        from ..training.feature_cache import frame_key
 
         arrays = {
             k: batch[k] for k in _BATCH_KEYS
@@ -144,17 +145,25 @@ class MicKeyTrainer:
         n_dev = self.mesh.devices.size
         arrays, real_b = pad_batch(arrays, n_dev)
         b_pad = next(iter(arrays.values())).shape[0]
-        keys0 = [
-            str(Path(sr) / p[0])
-            for sr, p in zip(batch["scene_root"], batch["pair_names"])
-        ]
-        keys1 = [
-            str(Path(sr) / p[1])
-            for sr, p in zip(batch["scene_root"], batch["pair_names"])
-        ]
-        keys0 += keys0[-1:] * (b_pad - real_b)
-        keys1 += keys1[-1:] * (b_pad - real_b)
-        fmap = self.feature_cache.gather(keys0 + keys1)  # (2B, Hp, Wp, C)
+        fmap = batch.get("fmap")
+        if fmap is None:
+            keys0 = [
+                frame_key(sr, p[0])
+                for sr, p in zip(batch["scene_root"], batch["pair_names"])
+            ]
+            keys1 = [
+                frame_key(sr, p[1])
+                for sr, p in zip(batch["scene_root"], batch["pair_names"])
+            ]
+            keys0 += keys0[-1:] * (b_pad - real_b)
+            keys1 += keys1[-1:] * (b_pad - real_b)
+            fmap = self.feature_cache.gather(keys0 + keys1)  # (2B, Hp, Wp, C)
+        elif b_pad != real_b:  # pad both image0-rows and image1-rows halves
+            f0, f1 = fmap[:real_b], fmap[real_b:]
+            rep = np.repeat(f0[-1:], b_pad - real_b, axis=0)
+            fmap = np.concatenate(
+                [f0, rep, f1, np.repeat(f1[-1:], b_pad - real_b, axis=0)]
+            )
         db = jax.device_put(arrays, batch_sharding(self.mesh))
         fmap = jax.device_put(fmap, batch_sharding(self.mesh))
         return self.train_step.grad_step(
@@ -326,8 +335,13 @@ class MicKeyTrainer:
         if self._cache_path and self.feature_cache is None:
             from ..training.feature_cache import FeatureCache, build_feature_cache
 
+            cache_dtype = str(cfg.TPU.get("FEATURE_CACHE_DTYPE", "bfloat16"))
             if FeatureCache.exists(self._cache_path):
-                self.feature_cache = FeatureCache(self._cache_path)
+                # validates the stored backbone fingerprint + dtype: a cache
+                # built from different weights must not be silently reused
+                self.feature_cache = FeatureCache(
+                    self._cache_path, backbone=self.backbone, expect_dtype=cache_dtype
+                )
             else:
                 print(f"building feature cache at {self._cache_path}", flush=True)
                 self.feature_cache = build_feature_cache(
@@ -335,9 +349,14 @@ class MicKeyTrainer:
                     self.backbone,
                     train_loader.dataset,
                     self._cache_path,
-                    dtype=str(cfg.TPU.get("FEATURE_CACHE_DTYPE", "bfloat16")),
+                    dtype=cache_dtype,
                     log=lambda m: print(m, flush=True),
+                    mesh=self._tp_mesh,
                 )
+            # hand the cache to the loader: feature rows are then gathered in
+            # its prefetch worker threads (batch["fmap"]), overlapping the
+            # disk reads with device compute instead of paying them inline
+            train_loader.feature_cache = self.feature_cache
 
         for epoch in range(start_epoch, max_epochs):
             t_ep = time.time()

@@ -45,6 +45,74 @@ _META = "meta.json"
 _DATA = "features.dat"
 
 
+def check_cfg_cacheable(cfg) -> None:
+    """Raise unless the configured input pipeline is deterministic per frame
+    (any per-epoch or per-sample transform would make cached features stale)."""
+    if cfg.DATASET.get("AUGMENTATION_TYPE") not in (None, "None", "none"):
+        raise ValueError(
+            "feature cache requires AUGMENTATION_TYPE=None: augmented images "
+            "change per epoch, cached frozen-backbone features would be stale"
+        )
+    if cfg.DATASET.get("BLACK_WHITE"):
+        raise ValueError(
+            "feature cache does not support DATASET.BLACK_WHITE: the cache "
+            "builder decodes frames without the grayscale transform, so cached "
+            "features would not match the configured input pipeline"
+        )
+
+
+def backbone_fingerprint(backbone) -> dict:
+    """Cheap identity signature of a (possibly device-resident) backbone
+    pytree: one on-device scalar over all params (a single host fetch — never
+    pulls the 600 MB pytree over a tunnel) plus a host-side hash of the
+    shape/dtype skeleton. Stored in meta.json at build; validated at reopen
+    so a cache built from different weights / a different variant cannot be
+    silently reused."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(backbone)
+
+    @jax.jit
+    def _sig(ls):
+        s = jnp.float32(0)
+        for i, l in enumerate(ls):
+            s = s + jnp.sum(jnp.abs(l).astype(jnp.float32)) * jnp.float32(i % 7 + 1)
+        return s
+
+    skel = "|".join(f"{tuple(l.shape)}{l.dtype}" for l in leaves)
+    return {
+        "param_sig": float(_sig(leaves)),
+        "shape_sig": hashlib.sha1(skel.encode()).hexdigest()[:16],
+        "n_leaves": len(leaves),
+    }
+
+
+def _check_fingerprint(meta: dict, backbone) -> None:
+    want = meta.get("fingerprint")
+    if not want:  # pre-fingerprint cache directory
+        raise ValueError(
+            "feature cache has no backbone fingerprint (built by an older "
+            "version) — rebuild it (delete the directory)"
+        )
+    got = backbone_fingerprint(backbone)
+    sig_rel = abs(got["param_sig"] - want["param_sig"]) / max(
+        1.0, abs(want["param_sig"])
+    )
+    if (
+        got["shape_sig"] != want["shape_sig"]
+        or got["n_leaves"] != want["n_leaves"]
+        or sig_rel > 1e-4  # tolerance: summation-order drift across backends
+    ):
+        raise ValueError(
+            f"feature cache was built from a DIFFERENT backbone "
+            f"(stored {want}, current {got}) — training on it would silently "
+            f"use stale features; rebuild the cache or fix the weights"
+        )
+
+
 def _storage_dtype(name: str):
     if name == "float32":
         return np.dtype(np.float32)
@@ -75,11 +143,24 @@ def unique_frames(dataset) -> List[Tuple[str, Tuple[int, int]]]:
 
 
 class FeatureCache:
-    """Read side: open a built cache directory and gather rows by frame key."""
+    """Read side: open a built cache directory and gather rows by frame key.
 
-    def __init__(self, root):
+    ``backbone``: pass the live backbone pytree to validate the stored
+    fingerprint (strongly recommended — a cache built from different weights
+    is silently-wrong training data otherwise). ``expect_dtype``: raise if
+    the stored dtype differs from the requested one."""
+
+    def __init__(self, root, backbone=None, expect_dtype: str = ""):
         self.root = Path(root)
         meta = json.loads((self.root / _META).read_text())
+        if backbone is not None:
+            _check_fingerprint(meta, backbone)
+        if expect_dtype and meta["dtype"] != expect_dtype:
+            raise ValueError(
+                f"feature cache at {root} stores {meta['dtype']} but "
+                f"{expect_dtype} was requested (FEATURE_CACHE_DTYPE) — "
+                f"rebuild the cache or change the setting"
+            )
         self.dtype = _storage_dtype(meta["dtype"])
         self.fmap_shape = tuple(meta["fmap_shape"])
         self.index: Dict[str, int] = meta["keys"]
@@ -104,7 +185,14 @@ class FeatureCache:
         """(len(keys), Hp, Wp, C) in the stored dtype (a copy, not a view).
         bf16 rows ship to the device as bf16 — half the transfer — and are
         upcast on-device (nn/extractor.compute_correspondences)."""
-        rows = np.fromiter((self.index[k] for k in keys), np.int64, len(keys))
+        try:
+            rows = np.fromiter((self.index[k] for k in keys), np.int64, len(keys))
+        except KeyError as e:
+            raise KeyError(
+                f"frame {e.args[0]!r} not in the feature cache at {self.root} "
+                f"({len(self.index)} frames) — the dataset changed since the "
+                f"cache was built; rebuild it (delete the directory)"
+            ) from None
         return np.asarray(self._mm[rows])
 
 
@@ -116,22 +204,21 @@ def build_feature_cache(
     batch_size: int = 8,
     dtype: str = "bfloat16",
     log=None,
+    mesh=None,
 ) -> FeatureCache:
     """Run the frozen backbone over every unique frame of ``dataset`` and
     write the cache directory. ``backbone`` is the (device-resident) frozen
-    DINOv2 param pytree; one jitted program at a fixed batch size (the last
-    partial batch is padded) keeps compilation to a single shape."""
+    DINOv2 param pytree — pass the trainer's mesh when it is tensor-parallel
+    sharded so the forward uses the same shard_mapped path as the train
+    step. One jitted program at a fixed batch size (the last partial batch
+    is padded) keeps compilation to a single shape."""
     import jax
     import jax.numpy as jnp
 
     from ..data.io import read_color_image
     from ..nn.extractor import backbone_features
 
-    if cfg.DATASET.get("AUGMENTATION_TYPE") not in (None, "None", "none"):
-        raise ValueError(
-            "feature cache requires AUGMENTATION_TYPE=None: augmented images "
-            "change per epoch, cached frozen-backbone features would be stale"
-        )
+    check_cfg_cacheable(cfg)
 
     frames = unique_frames(dataset)
     if not frames:
@@ -140,7 +227,7 @@ def build_feature_cache(
 
     @jax.jit
     def fwd(bb, images):
-        return backbone_features({"dinov2": bb}, images, cfg)
+        return backbone_features({"dinov2": bb}, images, cfg, mesh=mesh)
 
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
@@ -165,7 +252,12 @@ def build_feature_cache(
     mm.flush()
     (root / _META).write_text(
         json.dumps(
-            {"dtype": dtype, "fmap_shape": list(mm.shape[1:]), "keys": index}
+            {
+                "dtype": dtype,
+                "fmap_shape": list(mm.shape[1:]),
+                "keys": index,
+                "fingerprint": backbone_fingerprint(backbone),
+            }
         )
     )
     return FeatureCache(root)

@@ -215,10 +215,24 @@ class TestTrainerIntegration:
         assert trainer.global_step >= 1
         assert trainer.feature_cache is not None
         assert FeatureCache.exists(cfg.TPU.FEATURE_CACHE)
-        # second trainer reopens the existing cache instead of rebuilding
-        trainer2 = MicKeyTrainer(cfg, out_dir=str(tmp_path / "run2"), seed=1)
+        # second trainer with the SAME backbone (same seed) reopens the
+        # existing cache instead of rebuilding
+        trainer2 = MicKeyTrainer(cfg, out_dir=str(tmp_path / "run2"), seed=0)
         trainer2.fit(dm, max_epochs=1, val_batches=1, log_interval=10)
         assert trainer2.global_step >= 1
+        # a DIFFERENT backbone (other random init) must be rejected — the
+        # stored fingerprint catches silently-stale features
+        trainer3 = MicKeyTrainer(cfg, out_dir=str(tmp_path / "run3"), seed=1)
+        with pytest.raises(ValueError, match="DIFFERENT backbone"):
+            trainer3.fit(dm, max_epochs=1, val_batches=1, log_interval=10)
+        # requesting a different storage dtype than the cache holds: explicit
+        cfg2 = _cfg(scene_root)
+        cfg2.TRAINING.BATCH_SIZE = 8
+        cfg2.TPU.FEATURE_CACHE = cfg.TPU.FEATURE_CACHE
+        cfg2.TPU.FEATURE_CACHE_DTYPE = "float32"
+        trainer4 = MicKeyTrainer(cfg2, out_dir=str(tmp_path / "run4"), seed=0)
+        with pytest.raises(ValueError, match="FEATURE_CACHE_DTYPE"):
+            trainer4.fit(dm, max_epochs=1, val_batches=1, log_interval=10)
 
     def test_staged_train_required(self, scene_root, tmp_path):
         from mickey_tpu.models.training_model import MicKeyTrainer
@@ -237,3 +251,14 @@ class TestTrainerIntegration:
         cfg.DATASET.AUGMENTATION_TYPE = "colorjitter"
         with pytest.raises(ValueError, match="AUGMENTATION_TYPE"):
             MicKeyTrainer(cfg, out_dir=str(tmp_path / "runy"), seed=0)
+
+    def test_trainer_black_white_guard(self, scene_root, tmp_path):
+        """BLACK_WHITE applies a deterministic grayscale transform the cache
+        builder does not replicate — must refuse, not silently mismatch."""
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        cfg = _cfg(scene_root)
+        cfg.TPU.FEATURE_CACHE = str(tmp_path / "z")
+        cfg.DATASET.BLACK_WHITE = True
+        with pytest.raises(ValueError, match="BLACK_WHITE"):
+            MicKeyTrainer(cfg, out_dir=str(tmp_path / "runz"), seed=0)
