@@ -218,6 +218,29 @@ class TestSubmissionEndToEnd:
         assert 0 <= metrics["Estimates for % of frames"] <= 1
         assert metrics["Estimates for % of frames"] > 0
 
+    def test_predict_shared_ref_matches_plain(self, fake_dataset):
+        """The shared-reference serving path (per-scene keyframe extract
+        cache, cli/submission.py::predict) must produce IDENTICAL poses to
+        recomputing the reference frame every pair: same programs, same
+        inputs, same per-step RANSAC keys — only the recomputation is gone."""
+        from mickey_tpu.cli.submission import predict
+        from mickey_tpu.models import build_model
+
+        cfg = tiny_cfg(fake_dataset)
+        model = build_model(cfg, checkpoint="")
+        loader = DataModule(cfg, drop_last_val=False).val_dataloader()
+        r_plain = predict(loader, model, mesh=None, progress=False, shared_ref=False)
+        r_shared = predict(loader, model, mesh=None, progress=False, shared_ref=True)
+
+        assert set(r_plain) == set(r_shared)
+        for scene in r_plain:
+            assert len(r_plain[scene]) == len(r_shared[scene])
+            for a, b in zip(r_plain[scene], r_shared[scene]):
+                assert a.image_name == b.image_name
+                np.testing.assert_allclose(b.q, a.q, atol=1e-6)
+                np.testing.assert_allclose(b.t, a.t, atol=1e-6)
+                np.testing.assert_allclose(b.inliers, a.inliers, rtol=1e-5)
+
     def test_predict_mesh_sharded(self, fake_dataset, tmp_path):
         """The actual multi-chip serving path: batches padded to the device
         count and sharded over an 8-device mesh (cli/submission.py mesh arm)."""
