@@ -41,8 +41,12 @@ so production serving (cli/submission.py::predict) caches the keyframe's
 extract outputs per scene and only query images run the backbone+heads.
 The reference pipeline re-extracts the keyframe for every pair
 (submission.py:32-61) — and so does the A100 baseline estimate — so this is
-a framework-level speedup on the SAME benchmark workload, with bit-identical
-outputs (tests/test_data_pipeline.py::test_predict_shared_ref_matches_plain).
+a framework-level speedup on the SAME benchmark workload. Outputs: same
+math on the same inputs; equality is locked at 1e-6 on CPU
+(tests/test_data_pipeline.py::test_predict_shared_ref_matches_plain). On
+TPU the B-image and 2B-image extract programs may tile differently, so
+low-order-bit drift can flip individual discrete RANSAC draws — a
+distribution-level no-op, not a quality change.
 The general-pairs rate (both images extracted every pair — the round-1/2
 basis, and the right number for workloads without shared frames) is measured
 in the same run and emitted alongside as "general_pairs_per_sec"; set
@@ -161,18 +165,7 @@ def main():
         fmap = rp._backbone_jit(params, images, cfg_id)
         return rp._heads_jit(params, fmap, cfg_id)
 
-    for attempt in range(6):
-        try:
-            ref_feats_full = extract(im0)
-            ref_slices = [
-                tuple(f[i : i + 1] for f in ref_feats_full) for i in range(BATCH)
-            ]
-            break
-        except Exception as e:
-            if attempt == 5:
-                raise
-            print(f"# ref-extract attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
-            time.sleep(10)
+    ref_slices = []
 
     def one_pass_shared(im1, key, eps):
         ref_feats = tuple(
@@ -183,7 +176,23 @@ def main():
         est = estimate_pose_from_cfg(key, corr, K, K, cfg)
         return jnp.sum(est.confidence)
 
-    float(one_pass_shared(im1, key, jnp.float32(0.0)))  # warm (programs cached)
+    # warm the shared-layout programs (B-image extract + _match_feats_jit are
+    # FRESH compiles, not cache hits of the general path's programs) with the
+    # same retry the other compile sites get — the remote-compile service
+    # drops long requests
+    for attempt in range(6):
+        try:
+            ref_feats_full = extract(im0)
+            ref_slices[:] = [
+                tuple(f[i : i + 1] for f in ref_feats_full) for i in range(BATCH)
+            ]
+            float(one_pass_shared(im1, key, jnp.float32(0.0)))
+            break
+        except Exception as e:
+            if attempt == 5:
+                raise
+            print(f"# shared warmup attempt {attempt} failed ({type(e).__name__}); retrying", flush=True)
+            time.sleep(10)
 
     def args_general(i):
         return im0, im1, jax.random.fold_in(key, i), jnp.float32(1e-9 * (i + 1))

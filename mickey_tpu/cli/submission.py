@@ -48,11 +48,15 @@ def predict(loader, model, mesh=None, progress: bool = True, shared_ref=None):
     (reference datasets/mapfree.py:55-58), but the reference re-extracts it
     for every pair (submission.py:32-61). Here the keyframe's extract
     outputs are cached per (scene, ref-frame) on device and only the query
-    images run the backbone — outputs are bit-identical (same programs, same
-    inputs; tests/test_shared_ref.py), the reference side just isn't
-    recomputed. The multi-device shard_map path keeps the stacked-pair
-    program (a pallas_call can't be GSPMD-partitioned; per-shard caching is
-    a possible follow-up).
+    images run the backbone — same math on the same inputs, equality locked
+    at 1e-6 on CPU (tests/test_data_pipeline.py::
+    test_predict_shared_ref_matches_plain); on TPU the B- vs 2B-image
+    extract programs may tile differently, so low-order-bit drift can flip
+    individual discrete RANSAC draws (a distribution-level no-op).
+    --no_shared_ref restores the recompute path. The multi-device shard_map
+    path keeps the stacked-pair program (a pallas_call can't be
+    GSPMD-partitioned; pod deployment for shared-ref is scene-sharded
+    per-chip serving, BASELINE.md).
     """
     import jax
     import jax.numpy as jnp
@@ -123,22 +127,19 @@ def predict(loader, model, mesh=None, progress: bool = True, shared_ref=None):
                 key=step_key,
             )
         elif shared_ref:
-            b_pad = arrays["image0"].shape[0]
-            # padded rows repeat the last real pair (pad_batch semantics)
+            # this arm is only reachable single-device, where pad_batch with
+            # multiple=1 never pads
+            assert arrays["image0"].shape[0] == real_b
             pair_keys = [
-                (
-                    data["scene_id"][min(i, real_b - 1)],
-                    data["pair_names"][min(i, real_b - 1)][0],
-                )
-                for i in range(b_pad)
+                (data["scene_id"][i], data["pair_names"][i][0])
+                for i in range(real_b)
             ]
             missing = [k for k in dict.fromkeys(pair_keys) if k not in ref_cache]
-            for start in range(0, len(missing), b_pad):
-                chunk = missing[start : start + b_pad]
-                rows = [pair_keys.index(k) for k in chunk]
-                rows += rows[-1:] * (b_pad - len(rows))  # fixed compiled shape
+            if missing:  # at most one new keyframe per scene in the batch
+                rows = [pair_keys.index(k) for k in missing]
+                rows += rows[-1:] * (real_b - len(rows))  # keep the batch shape
                 feats = model.extract_feats(jnp.asarray(arrays["image0"][rows]))
-                for j, k in enumerate(chunk):
+                for j, k in enumerate(missing):
                     ref_cache[k] = tuple(f[j : j + 1] for f in feats)
             ref_feats = tuple(
                 jnp.concatenate([ref_cache[k][j] for k in pair_keys], axis=0)

@@ -68,9 +68,12 @@ class MickeyRelativePose:
         The shared-reference serving path: the Map-free benchmark pairs every
         query of a scene with the same seq0 keyframe, so ``ref_feats``
         (from ``extract_feats``, gathered per pair) is computed once per
-        scene and only the B query images pay the backbone. Bit-identical to
-        ``__call__`` (lite) — same programs, same inputs, the reference side
-        just isn't recomputed (tests/test_shared_ref.py)."""
+        scene and only the B query images pay the backbone. Same math as
+        ``__call__`` (lite) on the same inputs — equality locked at 1e-6 on
+        CPU (tests/test_data_pipeline.py::test_predict_shared_ref_matches_
+        plain); on TPU the B- vs 2B-image extract programs may tile
+        differently, so low-order-bit drift can flip individual discrete
+        RANSAC draws (distribution-level no-op)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         cfg_id = id(self.cfg)
