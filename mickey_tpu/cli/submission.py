@@ -43,20 +43,19 @@ def predict(loader, model, mesh=None, progress: bool = True, shared_ref=None):
     async; np.asarray is the sync point). The threaded loader prefetches host
     IO on its own.
 
-    ``shared_ref`` (default on for the single-device staged path): every
-    Map-free query pair reuses the scene's seq0 keyframe as image0
-    (reference datasets/mapfree.py:55-58), but the reference re-extracts it
-    for every pair (submission.py:32-61). Here the keyframe's extract
-    outputs are cached per (scene, ref-frame) on device and only the query
-    images run the backbone — same math on the same inputs, equality locked
-    at 1e-6 on CPU (tests/test_data_pipeline.py::
-    test_predict_shared_ref_matches_plain); on TPU the B- vs 2B-image
+    ``shared_ref`` (default on, both arms): every Map-free query pair reuses
+    the scene's seq0 keyframe as image0 (reference datasets/mapfree.py:55-58),
+    but the reference re-extracts it for every pair (submission.py:32-61).
+    Here the keyframe's extract outputs are cached per (scene, ref-frame) on
+    device and only the query images run the backbone — single-device via
+    ``call_with_ref_feats``, multi-device via the shard_mapped
+    ``sharded_call_with_ref_feats`` (cached ref feats ride in batch-sharded).
+    Same math on the same inputs, equality locked at 1e-6 on CPU for both
+    arms (tests/test_data_pipeline.py::test_predict_shared_ref_matches_plain,
+    ::test_predict_mesh_shared_ref_matches_plain); on TPU the B- vs 2B-image
     extract programs may tile differently, so low-order-bit drift can flip
     individual discrete RANSAC draws (a distribution-level no-op).
-    --no_shared_ref restores the recompute path. The multi-device shard_map
-    path keeps the stacked-pair program (a pallas_call can't be
-    GSPMD-partitioned; pod deployment for shared-ref is scene-sharded
-    per-chip serving, BASELINE.md).
+    --no_shared_ref restores the recompute path.
     """
     import jax
     import jax.numpy as jnp
@@ -68,7 +67,7 @@ def predict(loader, model, mesh=None, progress: bool = True, shared_ref=None):
     n_devices = len(mesh.devices.reshape(-1)) if mesh is not None else 1
     key = jax.random.PRNGKey(0)
     if shared_ref is None:
-        shared_ref = n_devices <= 1
+        shared_ref = True
     # (scene_id, ref_frame) -> tuple of 4 per-image extract maps, each (1,...)
     # on device (~1 MB/entry); insertion-ordered for LRU-ish eviction
     ref_cache: dict = {}
@@ -101,6 +100,37 @@ def predict(loader, model, mesh=None, progress: bool = True, shared_ref=None):
                 Pose(image_name=query_img, q=mat2quat(R).reshape(-1), t=t, inliers=conf)
             )
 
+    def gather_ref_feats(data, image0_np, real_b, extract_fn):
+        """Per-pair reference extract outputs, from the per-scene cache; new
+        keyframes are extracted in a fixed-shape batch (padded rows of
+        image0_np repeat the last real pair — pad_batch semantics)."""
+        b_pad = image0_np.shape[0]
+        pair_keys = [
+            (
+                data["scene_id"][min(i, real_b - 1)],
+                data["pair_names"][min(i, real_b - 1)][0],
+            )
+            for i in range(b_pad)
+        ]
+        missing = [k for k in dict.fromkeys(pair_keys) if k not in ref_cache]
+        if missing:  # at most one new keyframe per scene in the batch
+            rows = [pair_keys.index(k) for k in missing]
+            rows += rows[-1:] * (b_pad - len(rows))  # keep the batch shape
+            feats = extract_fn(jnp.asarray(image0_np[rows]))
+            for j, k in enumerate(missing):
+                ref_cache[k] = tuple(f[j : j + 1] for f in feats)
+        ref_feats = tuple(
+            jnp.concatenate([ref_cache[k][j] for k in pair_keys], axis=0)
+            for j in range(4)
+        )
+        if len(ref_cache) > MAX_REF_CACHE:  # evict oldest unused scenes
+            keep = set(pair_keys)
+            for k in [k for k in ref_cache if k not in keep]:
+                if len(ref_cache) <= MAX_REF_CACHE:
+                    break
+                ref_cache.pop(k)
+        return ref_feats
+
     in_flight = None  # (out, real_b, data) awaiting fetch
     for step, data in enumerate(it):
         arrays = {
@@ -117,40 +147,34 @@ def predict(loader, model, mesh=None, progress: bool = True, shared_ref=None):
             # mesh takes the staged path below instead: sharded_call fuses the
             # whole pipeline into one program, which the remote-compile
             # service cannot digest (relative_pose.py staged-pipeline note).
-            arrays = shard_batch(mesh, arrays)
-            out = model.sharded_call(
-                mesh,
-                jnp.asarray(arrays["image0"]),
-                jnp.asarray(arrays["image1"]),
-                jnp.asarray(arrays["K_color0"]),
-                jnp.asarray(arrays["K_color1"]),
-                key=step_key,
-            )
+            if shared_ref:
+                ref_feats = gather_ref_feats(
+                    data, np.asarray(arrays["image0"]), real_b,
+                    lambda im: model.sharded_extract_feats(mesh, im),
+                )
+                arrays = shard_batch(mesh, arrays)
+                out = model.sharded_call_with_ref_feats(
+                    mesh,
+                    ref_feats,
+                    jnp.asarray(arrays["image1"]),
+                    jnp.asarray(arrays["K_color0"]),
+                    jnp.asarray(arrays["K_color1"]),
+                    key=step_key,
+                )
+            else:
+                arrays = shard_batch(mesh, arrays)
+                out = model.sharded_call(
+                    mesh,
+                    jnp.asarray(arrays["image0"]),
+                    jnp.asarray(arrays["image1"]),
+                    jnp.asarray(arrays["K_color0"]),
+                    jnp.asarray(arrays["K_color1"]),
+                    key=step_key,
+                )
         elif shared_ref:
-            # this arm is only reachable single-device, where pad_batch with
-            # multiple=1 never pads
-            assert arrays["image0"].shape[0] == real_b
-            pair_keys = [
-                (data["scene_id"][i], data["pair_names"][i][0])
-                for i in range(real_b)
-            ]
-            missing = [k for k in dict.fromkeys(pair_keys) if k not in ref_cache]
-            if missing:  # at most one new keyframe per scene in the batch
-                rows = [pair_keys.index(k) for k in missing]
-                rows += rows[-1:] * (real_b - len(rows))  # keep the batch shape
-                feats = model.extract_feats(jnp.asarray(arrays["image0"][rows]))
-                for j, k in enumerate(missing):
-                    ref_cache[k] = tuple(f[j : j + 1] for f in feats)
-            ref_feats = tuple(
-                jnp.concatenate([ref_cache[k][j] for k in pair_keys], axis=0)
-                for j in range(4)
+            ref_feats = gather_ref_feats(
+                data, np.asarray(arrays["image0"]), real_b, model.extract_feats
             )
-            if len(ref_cache) > MAX_REF_CACHE:  # evict oldest unused scenes
-                keep = set(pair_keys)
-                for k in [k for k in ref_cache if k not in keep]:
-                    if len(ref_cache) <= MAX_REF_CACHE:
-                        break
-                    ref_cache.pop(k)
             out = model.call_with_ref_feats(
                 ref_feats,
                 jnp.asarray(arrays["image1"]),

@@ -86,6 +86,29 @@ class MickeyRelativePose:
             estimate=None, corr=None,
         )
 
+    def sharded_extract_feats(self, mesh, images):
+        """``extract_feats`` over a data-parallel mesh (shard_mapped, so the
+        Pallas kernels run per-shard rather than being replicated by GSPMD)."""
+        cfg_id = id(self.cfg)
+        _CFG_REGISTRY[cfg_id] = self.cfg
+        return _sharded_extract(mesh, cfg_id)(self.params, images)
+
+    def sharded_call_with_ref_feats(self, mesh, ref_feats, image1, K0, K1, key=None):
+        """Shared-reference serving over a data-parallel mesh: cached keyframe
+        extract outputs ride in batch-sharded, only query images run the
+        backbone on each chip. Mesh analog of ``call_with_ref_feats`` —
+        per-shard RANSAC keys fold exactly like ``sharded_call``."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        cfg_id = id(self.cfg)
+        _CFG_REGISTRY[cfg_id] = self.cfg
+        R, t, conf, valid = _sharded_forward_shared(mesh, cfg_id)(
+            self.params, *ref_feats, image1, K0, K1, key
+        )
+        return RelativePoseOutput(
+            R=R, t=t, inliers=conf, valid=valid, estimate=None, corr=None
+        )
+
     def sharded_call(self, mesh, image0, image1, K0, K1, key=None):
         """Data-parallel inference over a device mesh (lite output).
 
@@ -153,14 +176,15 @@ def _match_feats_jit(params, feats0, feats1, cfg_id):
     return _match_jit(params, *stacked, cfg_id)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg_id",))
-def _match_jit(params, kpts, depths, scores, descs, cfg_id):
+def _correspondences_from_heads(params, kpts, depths, scores, descs, cfg):
+    """Matcher-stage math on stacked (2B) head outputs — shared by the jitted
+    staged stage (`_match_jit`) and the shard_mapped shared-ref serving path
+    (`_local_forward_shared`)."""
     import jax.numpy as jnp
 
     from ..nn.extractor import Correspondences, _flatten_maps, absolute_kpt_coordinates
     from ..nn.matcher import match_scores
 
-    cfg = _CFG_REGISTRY[cfg_id]
     b = kpts.shape[0] // 2
     kpts = absolute_kpt_coordinates(kpts, cfg.MICKEY.DINOV2.DOWN_FACTOR)
     (k0, k1), (d0, d1), (s0, s1), (c0, c1) = ((t[:b], t[b:]) for t in (kpts, depths, scores, descs))
@@ -172,6 +196,13 @@ def _match_jit(params, kpts, depths, scores, descs, cfg_id):
         kps0=kps0, depth0=depth0, scr0=scr0, dsc0=dsc0,
         kps1=kps1, depth1=depth1, scr1=scr1, dsc1=dsc1,
         scores=match, kp_scores=kp_scores, depth_map0=d0, depth_map1=d1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_id",))
+def _match_jit(params, kpts, depths, scores, descs, cfg_id):
+    return _correspondences_from_heads(
+        params, kpts, depths, scores, descs, _CFG_REGISTRY[cfg_id]
     )
 
 
@@ -194,6 +225,68 @@ def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
         )
     return RelativePoseOutput(
         R=est.R, t=est.t, inliers=est.confidence, valid=est.valid, estimate=est, corr=corr
+    )
+
+
+def _local_extract(params, images, cfg_id):
+    """Per-device extract for shard_map: backbone + heads on a local shard."""
+    from ..nn.extractor import backbone_features, heads_apply
+
+    cfg = _CFG_REGISTRY[cfg_id]
+    fmap = backbone_features(params, images, cfg)
+    (kpts, depths, scores, descs), _ = heads_apply(params, fmap, cfg, train=False)
+    return kpts, depths, scores, descs
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_extract(mesh, cfg_id):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS
+
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(_local_extract, cfg_id=cfg_id),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS),) * 4,
+            check_vma=False,
+        )
+    )
+
+
+def _local_forward_shared(params, rk, rd, rs, rc, image1, K0, K1, key, cfg_id):
+    """Per-device shared-ref forward for shard_map: cached reference extract
+    outputs (rk/rd/rs/rc) arrive as inputs, only the query images run the
+    backbone — the mesh analog of ``call_with_ref_feats``."""
+    import jax.numpy as jnp
+
+    from ..parallel import DATA_AXIS
+
+    cfg = _CFG_REGISTRY[cfg_id]
+    key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+    q = _local_extract(params, image1, cfg_id)
+    stacked = tuple(jnp.concatenate([r, t], axis=0) for r, t in zip((rk, rd, rs, rc), q))
+    corr = _correspondences_from_heads(params, *stacked, cfg)
+    est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
+    return est.R, est.t, est.confidence, est.valid
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_forward_shared(mesh, cfg_id):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import DATA_AXIS
+
+    bspec, rspec = P(DATA_AXIS), P()
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(_local_forward_shared, cfg_id=cfg_id),
+            mesh=mesh,
+            in_specs=(rspec,) + (bspec,) * 7 + (rspec,),
+            out_specs=(bspec, bspec, bspec, bspec),
+            check_vma=False,
+        )
     )
 
 
