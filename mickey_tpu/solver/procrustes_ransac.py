@@ -137,6 +137,16 @@ def estimate_pose(
     K0 = K0.astype(jnp.float32)
     K1 = K1.astype(jnp.float32)
 
+    # -- 3D point tables, computed ONCE on the N keypoints per image.
+    # Backprojection is per-point elementwise, so gather(backproject(kps)) ==
+    # backproject(gather(kps)) bitwise — but runs on N ~ 2K points instead of
+    # it*S ~ 41K sampled rows, and the per-draw scan body then gathers ONE
+    # 3-wide table per side instead of two kps/depth tables + a backproject.
+    # The gather stage was the solver's largest compute block (22.3 of ~67 ms
+    # compute/batch-16, tools/bench_solver_micro.py).
+    X_all = backproject_3d(kps0, depth0, K0)  # (B, N0, 3)
+    Y_all = backproject_3d(kps1, depth1, K1)  # (B, N1, 3)
+
     k_outer, k_inner_base = jax.random.split(key)
     inner_keys = jax.random.split(k_inner_base, it_matches)
 
@@ -146,27 +156,31 @@ def estimate_pose(
     # solver's dominant cost (BENCHLOG.md). Falls back to per-draw sampling
     # in the exact no-prefilter regime where the batched noise tensor would
     # be (it, B, ~3.7M) fp32 (see ops/sampling.gumbel_topk_sample_draws).
-    outer_idx = gumbel_topk_sample_draws(
+    outer_local = gumbel_topk_sample_draws(
         k_outer, logw, num_samples, it_matches, approx=approx_sampling
-    )  # (it, B, S)
+    )  # (it, B, S) — indices into the prefiltered table (or global w/o prefilter)
     if remap is not None:
         outer_idx = jnp.take_along_axis(
-            jnp.broadcast_to(remap[None], (it_matches,) + remap.shape), outer_idx, axis=2
+            jnp.broadcast_to(remap[None], (it_matches,) + remap.shape), outer_local, axis=2
         )
+        # sampled-match weights come from the top_scores table (the exact
+        # score values of those entries) — a 4096-entry gather source instead
+        # of the ~3.7M-entry dense matrix.
+        w_table = top_scores
+        w_idx = outer_local
+    else:
+        outer_idx = outer_local
+        w_table = scores_flat
+        w_idx = outer_idx
 
     def outer_step(carry, xs):
-        k_inner, idx = xs  # idx: (B, S) global match indices of this draw
+        k_inner, idx, idx_w = xs  # (B, S): global match indices / w-table indices
         idx0 = idx // N1
         idx1 = idx % N1
 
-        cor0 = jnp.take_along_axis(kps0, idx0[..., None], axis=1)  # (B, S, 2)
-        cor1 = jnp.take_along_axis(kps1, idx1[..., None], axis=1)
-        d0 = jnp.take_along_axis(depth0, idx0[..., None], axis=1)  # (B, S, 1)
-        d1 = jnp.take_along_axis(depth1, idx1[..., None], axis=1)
-        w = jnp.take_along_axis(scores_flat, idx, axis=1)  # (B, S)
-
-        X = backproject_3d(cor0, d0, K0)  # (B, S, 3)
-        Y = backproject_3d(cor1, d1, K1)
+        X = jnp.take_along_axis(X_all, idx0[..., None], axis=1)  # (B, S, 3)
+        Y = jnp.take_along_axis(Y_all, idx1[..., None], axis=1)
+        w = jnp.take_along_axis(w_table, idx_w, axis=1)  # (B, S)
 
         # -- inner draws: it_ransac minimal sets of num_corr correspondences
         logw_in = jnp.broadcast_to(_log_weights(w)[:, None, :], (B, it_ransac, num_samples))
@@ -196,35 +210,34 @@ def estimate_pose(
             "R": take(sol.R),
             "t": take(sol.t),
             "score": jnp.take_along_axis(score, best[:, None], axis=1)[:, 0],
-            "X": X,
-            "Y": Y,
-            "cor0": cor0,
-            "cor1": cor1,
-            "d0": d0,
-            "d1": d1,
-            "w": w,
         }
         return carry, out
 
     _, per_step = jax.lax.scan(
-        outer_step, None, (inner_keys, outer_idx)
-    )  # leaves: (it_matches, B, ...)
+        outer_step, None, (inner_keys, outer_idx, w_idx)
+    )  # leaves: (it_matches, B, ...) — only the winning pose + score per step;
+    # the big sampled tables are re-gathered below for the best draw only.
 
     # -- global best across the it_matches outer draws
     step_scores = per_step["score"]  # (it, B)
     best_it = jnp.argmax(step_scores, axis=0)  # (B,)
     b_idx = jnp.arange(B)
 
-    def pick(a):
-        return a[best_it, b_idx]
+    R = per_step["R"][best_it, b_idx]  # (B, 3, 3)
+    t = per_step["t"][best_it, b_idx]  # (B, 1, 3)
 
-    R = pick(per_step["R"])  # (B, 3, 3)
-    t = pick(per_step["t"])  # (B, 1, 3)
-    X_best = pick(per_step["X"])  # (B, S, 3)
-    Y_best = pick(per_step["Y"])
-    cor0_b, cor1_b = pick(per_step["cor0"]), pick(per_step["cor1"])
-    d0_b, d1_b = pick(per_step["d0"]), pick(per_step["d1"])
-    w_b = pick(per_step["w"])
+    # -- re-gather the best draw's correspondence set (1/it_matches of the
+    # per-draw gather work the scan used to stack for every draw)
+    idx_best = outer_idx[best_it, b_idx]  # (B, S) global match indices
+    idx0_b = idx_best // N1
+    idx1_b = idx_best % N1
+    X_best = jnp.take_along_axis(X_all, idx0_b[..., None], axis=1)  # (B, S, 3)
+    Y_best = jnp.take_along_axis(Y_all, idx1_b[..., None], axis=1)
+    cor0_b = jnp.take_along_axis(kps0, idx0_b[..., None], axis=1)  # (B, S, 2)
+    cor1_b = jnp.take_along_axis(kps1, idx1_b[..., None], axis=1)
+    d0_b = jnp.take_along_axis(depth0, idx0_b[..., None], axis=1)  # (B, S, 1)
+    d1_b = jnp.take_along_axis(depth1, idx1_b[..., None], axis=1)
+    w_b = jnp.take_along_axis(w_table, w_idx[best_it, b_idx], axis=1)  # (B, S)
 
     # -- masked refinement loop (reference :284-300), fixed trips
     def ref_step(_, state):

@@ -164,14 +164,18 @@ def metric_pose_loss(
     idx0 = idx // N1
     idx1 = idx % N1
 
-    cor0 = _take(idx0, kps0)  # (B, it, S, 2)
-    cor1 = _take(idx1, kps1)
-    d0 = _take(idx0, depth0)  # (B, it, S, 1)
-    d1 = _take(idx1, depth1)
+    # 3D point tables computed ONCE on the N keypoints (grad-carrying), then
+    # gathered per draw: backprojection is per-point elementwise, so
+    # gather(backproject) == backproject(gather) — on ~2K rows instead of
+    # it*S ~ 10K, and one 3-wide gather per side instead of two (kps + depth).
+    # Same restructure as the inference solver (procrustes_ransac.py); the
+    # gather stage was the solver's largest compute block
+    # (tools/bench_solver_micro.py).
+    X_all = backproject_3d(kps0, depth0, K0)  # (B, N0, 3)
+    Y_all = backproject_3d(kps1, depth1, K1)  # (B, N1, 3)
+    X = _take(idx0, X_all)  # (B, it, S, 3)
+    Y = _take(idx1, Y_all)
     weights = _take(idx, matches[..., None])[..., 0]  # (B, it, S), detached
-
-    X = backproject_3d(cor0, d0, K0[:, None])  # (B, it, S, 3)
-    Y = backproject_3d(cor1, d1, K1[:, None])
     if _profile_stage == "sample":
         return jnp.sum(X) + jnp.sum(Y) + jnp.sum(weights), {}
 
