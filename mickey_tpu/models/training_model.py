@@ -64,6 +64,9 @@ class MicKeyTrainer:
         )
         self.train_step = make_step(cfg, mesh=tp_mesh)
         self.val_step = make_val_step(cfg, mesh=tp_mesh)
+        from ..training.train_step import make_lr_fn
+
+        self._lr_fn = make_lr_fn(cfg)  # reference LearningRateMonitor (train.py:57)
         self.key = jax.random.PRNGKey(seed + 1)
 
         # frozen-backbone feature cache (training/feature_cache.py): train
@@ -366,6 +369,7 @@ class MicKeyTrainer:
                     for k, v in metrics.items():
                         self.log_scalar(f"train/{k}", v)
                     self.log_scalar("train/topk", self.topk)
+                    self.log_scalar("train/lr", float(self._lr_fn(self.global_step)))
                     if self.cfg.TPU.get("LOG_IMAGES", False) and "image0" in batch:
                         self.log_training_images(batch)
                     print(

@@ -171,6 +171,16 @@ def metric_pose_loss(
     # Same restructure as the inference solver (procrustes_ransac.py); the
     # gather stage was the solver's largest compute block
     # (tools/bench_solver_micro.py).
+    # Head outputs are sanitized to finite values first: the tables now touch
+    # ALL N rows, so a non-finite depth/kps at a never-sampled row would leak
+    # NaN into the gather VJP (0 cotangent x inf = NaN) where the old
+    # gather-then-backproject path never evaluated that row. For finite
+    # outputs (the invariant row_ok + apply_if_finite enforce elsewhere)
+    # nan_to_num is the identity with identity gradient.
+    kps0 = jnp.nan_to_num(kps0)
+    kps1 = jnp.nan_to_num(kps1)
+    depth0 = jnp.nan_to_num(depth0)
+    depth1 = jnp.nan_to_num(depth1)
     X_all = backproject_3d(kps0, depth0, K0)  # (B, N0, 3)
     Y_all = backproject_3d(kps1, depth1, K1)  # (B, N1, 3)
     X = _take(idx0, X_all)  # (B, it, S, 3)
@@ -263,7 +273,12 @@ def metric_pose_loss(
     if lc.train_with_topk and B > 1:
         sb = jnp.clip((B * topk_pct // 100).astype(jnp.int32), 1, B - 1)
         thresh = jnp.sort(baseline_d)[sb]
-        mask_topk = (baseline_d < thresh).astype(jnp.float32)
+        # topk_pct >= 100 means "no masking" (the reference never indexes past
+        # the curriculum cap, but validation passes 100.0): without the guard
+        # the sb clip to B-1 would silently mask the single worst pair.
+        mask_topk = jnp.where(
+            topk_pct >= 100.0, 1.0, (baseline_d < thresh).astype(jnp.float32)
+        )
     else:
         mask_topk = jnp.ones((B,), jnp.float32)
     mask_topk = mask_topk * row_ok.astype(jnp.float32)

@@ -37,16 +37,24 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # int32
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
+def make_lr_fn(cfg):
+    """step -> learning rate; the schedule make_optimizer applies (StepLR
+    equivalent, reference model.py:282-289). Exposed so the trainer can log
+    the LR scalar (reference LearningRateMonitor, train.py:57)."""
     t = cfg.TRAINING
-    lr = t.LR
     if t.LR_STEP_INTERVAL:
-        lr = optax.exponential_decay(
+        return optax.exponential_decay(
             init_value=t.LR,
             transition_steps=int(t.LR_STEP_INTERVAL),
             decay_rate=float(t.LR_STEP_GAMMA),
             staircase=True,
         )
+    return lambda step: t.LR
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    t = cfg.TRAINING
+    lr = make_lr_fn(cfg)
     chain = []
     if t.GRAD_CLIP:
         chain.append(optax.clip_by_global_norm(float(t.GRAD_CLIP)))

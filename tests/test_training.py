@@ -192,12 +192,61 @@ class TestFitLoop:
 
         out_dir = tmp_path / "run"
         trainer = MicKeyTrainer(cfg, out_dir=str(out_dir), seed=0)
+        logged = {}
+        orig_log = trainer.log_scalar
+        trainer.log_scalar = lambda name, value, step=None: (
+            logged.__setitem__(name, float(value)), orig_log(name, value, step)
+        )[1]
         dm = DataModuleTraining(cfg)
         trainer.fit(dm, max_epochs=1, val_batches=1, log_interval=1)
 
         assert trainer.global_step >= 1
         assert (out_dir / "last").exists()
         assert trainer.topk == 35.0  # curriculum advanced once
+        # LR scalar logged (reference LearningRateMonitor, train.py:57)
+        assert logged.get("train/lr") == pytest.approx(cfg.TRAINING.LR)
+
+
+class TestCurriculumMaskEdge:
+    def _loss_inputs(self, B=4, N=16):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        K = np.zeros((B, 3, 3), np.float32)
+        K[:, 0, 0] = K[:, 1, 1] = 100.0
+        K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = 56.0, 63.0, 1.0
+        T = synthetic_batch(rng, B=B)["T_0to1"]
+        return dict(
+            final_scores=jnp.asarray(rng.uniform(0.01, 1.0, (B, N, N)).astype(np.float32)),
+            kps0=jnp.asarray(rng.uniform(0, 100, (B, N, 2)).astype(np.float32)),
+            depth0=jnp.asarray(rng.uniform(1, 5, (B, N, 1)).astype(np.float32)),
+            kps1=jnp.asarray(rng.uniform(0, 100, (B, N, 2)).astype(np.float32)),
+            depth1=jnp.asarray(rng.uniform(1, 5, (B, N, 1)).astype(np.float32)),
+            K0=jnp.asarray(K), K1=jnp.asarray(K),
+            K0ori=jnp.asarray(K), K1ori=jnp.asarray(K),
+            Rgt=jnp.asarray(T[:, :3, :3]),
+            tgt=jnp.asarray(T[:, :3, 3][:, None, :]),
+        )
+
+    def test_topk_pct_100_means_no_masking(self):
+        """topk_pct >= 100 must yield the all-ones mask: validation passes
+        100.0 meaning 'no masking', and the sb clip to B-1 used to silently
+        mask the single worst pair (round-3 VERDICT weak #4)."""
+        import jax.numpy as jnp
+
+        from mickey_tpu.training.loss import LossConfig, metric_pose_loss
+
+        lc = LossConfig(
+            it_matches=2, it_ransac=2, num_corr=3, num_samples_matches=8,
+            num_ref_steps=1, train_with_topk=True,
+        )
+        inputs = self._loss_inputs()
+        key = jax.random.PRNGKey(0)
+        _, aux100 = metric_pose_loss(**inputs, key=key, lc=lc, topk_pct=jnp.float32(100.0))
+        np.testing.assert_array_equal(np.asarray(aux100["mask_topk"]), np.ones(4))
+        # and a real curriculum percentage still masks: 50% of B=4 keeps 2
+        _, aux50 = metric_pose_loss(**inputs, key=key, lc=lc, topk_pct=jnp.float32(50.0))
+        assert np.asarray(aux50["mask_topk"]).sum() == 2.0
 
 
 class TestDinov2Bootstrap:

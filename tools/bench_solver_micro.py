@@ -11,7 +11,14 @@ scalar so no stage can be constant-folded:
   row_ok    : validity reductions over the full score matrix
   prefilter : + approx_max_k(B, N0*N1 -> P)
   outer     : + batched Gumbel top-k draws (it, B, P -> S) + remap
-  gather    : + correspondence gathers + backprojection (first draw)
+  gather    : + LEGACY per-draw kps/depth gathers + backprojection on the
+              it*S sampled rows — the PRE-round-3 structure, kept so the
+              restructure's win stays re-measurable; it no longer matches
+              the shipped solver, so do NOT read full-minus-gather as the
+              current solver's tail cost
+  gather_tables : + the CURRENT structure (backproject the N keypoints once
+              into (B, N, 3) tables, gather 3-wide rows per draw) — use this
+              prefix for attribution against `full`
   full      : estimate_pose (entire solver)
 
 Usage: python tools/bench_solver_micro.py [--iters 12] [--batch 16]
@@ -125,7 +132,22 @@ def main():
         return jnp.sum(f_outer_impl(fs, s, k).astype(jnp.float32) * 1e-9)
 
     @jax.jit
+    def f_gather_tables(fs, s, k):
+        # CURRENT solver structure (procrustes_ransac.py round 3+): 3D point
+        # tables built once on the N keypoints, 3-wide gathers per draw
+        outer_idx = f_outer_impl(fs, s, k)
+        idx_flat = jnp.swapaxes(outer_idx, 0, 1).reshape(Bq, it * S)
+        idx0 = idx_flat // N1
+        idx1 = idx_flat % N1
+        X_all = backproject_3d(kps0, depth0, K)
+        Y_all = backproject_3d(kps1, depth1, K)
+        X = jnp.take_along_axis(X_all, idx0[..., None], axis=1)
+        Y = jnp.take_along_axis(Y_all, idx1[..., None], axis=1)
+        return jnp.sum(X) * 1e-9 + jnp.sum(Y) * 1e-9
+
+    @jax.jit
     def f_gather(fs, s, k):
+        # LEGACY pre-round-3 structure (see module docstring)
         outer_idx = f_outer_impl(fs, s, k)
         idx_flat = jnp.swapaxes(outer_idx, 0, 1).reshape(Bq, it * S)
         idx0 = idx_flat // N1
@@ -166,6 +188,7 @@ def main():
     timeit("prefilter", lambda i: f_prefilter(final_scores, jnp.float32(i)))
     timeit("outer", lambda i: f_outer(final_scores, jnp.float32(i), jax.random.fold_in(key, i)))
     timeit("gather", lambda i: f_gather(final_scores, jnp.float32(i), jax.random.fold_in(key, i)))
+    timeit("gather_tables", lambda i: f_gather_tables(final_scores, jnp.float32(i), jax.random.fold_in(key, i)))
     timeit("full", f_full)
 
 
