@@ -287,6 +287,18 @@ def default_config() -> Config:
                 # pose/confidence level (test_bf16_descriptor_gate); default
                 # per the on-chip A/B (BENCHLOG round 3).
                 "MATCHER_BF16": False,
+                # fused matcher->top-K inference route: the dual-softmax
+                # kernel emits the top-SAMPLING_PREFILTER (score, index)
+                # table straight from VMEM — the dense (B, N0, N1) fp32
+                # score matrix (~15 MB/pair written, then re-read by
+                # approx_max_k) never exists. Candidate set = top
+                # MATCHER_TOPL entries per query row; L=16 is exact at the
+                # production operating point even for worst-case diffuse
+                # distributions (L=8 is 98.8% recall — already above the
+                # dense route's approx_max_k recall_target=0.95). Inference
+                # only; training keeps the dense differentiable path.
+                "FUSED_TOPK": True,
+                "MATCHER_TOPL": 16,
                 "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
             },

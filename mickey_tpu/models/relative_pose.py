@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.extractor import Correspondences, compute_correspondences, model_init
-from ..solver.procrustes_ransac import PoseEstimate, estimate_pose_from_cfg
+from ..solver.procrustes_ransac import (
+    PoseEstimate,
+    estimate_pose_from_cfg,
+    estimate_pose_topk_from_cfg,
+)
 
 Params = Dict[str, Any]
 
@@ -79,8 +83,12 @@ class MickeyRelativePose:
         cfg_id = id(self.cfg)
         _CFG_REGISTRY[cfg_id] = self.cfg
         q_feats = self.extract_feats(image1)
-        corr = _match_feats_jit(self.params, ref_feats, q_feats, cfg_id)
-        est = estimate_pose_from_cfg(key, corr, K0, K1, self.cfg)
+        if _use_fused_topk(self.cfg):
+            tcorr = _match_feats_topk_jit(self.params, ref_feats, q_feats, cfg_id)
+            est = estimate_pose_topk_from_cfg(key, tcorr, K0, K1, self.cfg)
+        else:
+            corr = _match_feats_jit(self.params, ref_feats, q_feats, cfg_id)
+            est = estimate_pose_from_cfg(key, corr, K0, K1, self.cfg)
         return RelativePoseOutput(
             R=est.R, t=est.t, inliers=est.confidence, valid=est.valid,
             estimate=None, corr=None,
@@ -176,6 +184,17 @@ def _match_feats_jit(params, feats0, feats1, cfg_id):
     return _match_jit(params, *stacked, cfg_id)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg_id",))
+def _match_feats_topk_jit(params, feats0, feats1, cfg_id):
+    """Fused top-K analog of ``_match_feats_jit`` (shared-reference serving)."""
+    import jax.numpy as jnp
+
+    stacked = tuple(
+        jnp.concatenate([a, b], axis=0) for a, b in zip(feats0, feats1)
+    )
+    return _match_topk_jit(params, *stacked, cfg_id)
+
+
 def _correspondences_from_heads(params, kpts, depths, scores, descs, cfg):
     """Matcher-stage math on stacked (2B) head outputs — shared by the jitted
     staged stage (`_match_jit`) and the shard_mapped shared-ref serving path
@@ -206,17 +225,42 @@ def _match_jit(params, kpts, depths, scores, descs, cfg_id):
     )
 
 
-def _staged_correspondences(params, image0, image1, cfg_id):
+@functools.partial(jax.jit, static_argnames=("cfg_id",))
+def _match_topk_jit(params, kpts, depths, scores, descs, cfg_id):
+    """Fused matcher->top-K stage (cfg.TPU.FUSED_TOPK): the dense match
+    matrices never exist; see extractor.topk_correspondences_from_heads."""
+    from ..nn.extractor import absolute_kpt_coordinates, topk_correspondences_from_heads
+
+    cfg = _CFG_REGISTRY[cfg_id]
+    kpts = absolute_kpt_coordinates(kpts, cfg.MICKEY.DINOV2.DOWN_FACTOR)
+    return topk_correspondences_from_heads(params, kpts, depths, scores, descs, cfg)
+
+
+def _use_fused_topk(cfg) -> bool:
+    return bool(cfg.TPU.get("FUSED_TOPK", False)) and int(
+        cfg.TPU.get("SAMPLING_PREFILTER", 0) or 0
+    ) > 0
+
+
+def _staged_correspondences(params, image0, image1, cfg_id, topk=False):
     import jax.numpy as jnp
 
     stacked = jnp.concatenate([image0, image1], axis=0)
     fmap = _backbone_jit(params, stacked, cfg_id)
     kpts, depths, scores, descs = _heads_jit(params, fmap, cfg_id)
-    return _match_jit(params, kpts, depths, scores, descs, cfg_id)
+    match = _match_topk_jit if topk else _match_jit
+    return match(params, kpts, depths, scores, descs, cfg_id)
 
 
 def _forward_jit(params, image0, image1, K0, K1, key, cfg_id, lite=False):
     cfg = _CFG_REGISTRY[cfg_id]
+    if lite and _use_fused_topk(cfg):
+        # lite only: the full output carries the dense corr for visualization
+        tcorr = _staged_correspondences(params, image0, image1, cfg_id, topk=True)
+        est = estimate_pose_topk_from_cfg(key, tcorr, K0, K1, cfg)
+        return RelativePoseOutput(
+            R=est.R, t=est.t, inliers=est.confidence, valid=est.valid, estimate=None, corr=None
+        )
     corr = _staged_correspondences(params, image0, image1, cfg_id)
     est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)  # jitted internally
     if lite:
@@ -267,8 +311,16 @@ def _local_forward_shared(params, rk, rd, rs, rc, image1, K0, K1, key, cfg_id):
     key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
     q = _local_extract(params, image1, cfg_id)
     stacked = tuple(jnp.concatenate([r, t], axis=0) for r, t in zip((rk, rd, rs, rc), q))
-    corr = _correspondences_from_heads(params, *stacked, cfg)
-    est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
+    if _use_fused_topk(cfg):
+        from ..nn.extractor import absolute_kpt_coordinates, topk_correspondences_from_heads
+        from ..solver.procrustes_ransac import estimate_pose_topk_from_cfg
+
+        kpts = absolute_kpt_coordinates(stacked[0], cfg.MICKEY.DINOV2.DOWN_FACTOR)
+        tcorr = topk_correspondences_from_heads(params, kpts, *stacked[1:], cfg)
+        est = estimate_pose_topk_from_cfg(key, tcorr, K0, K1, cfg)
+    else:
+        corr = _correspondences_from_heads(params, *stacked, cfg)
+        est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
     return est.R, est.t, est.confidence, est.valid
 
 
@@ -300,8 +352,20 @@ def _local_forward(params, image0, image1, K0, K1, key, cfg_id):
     # so without the fold every chip would draw identical Gumbel noise for its
     # local batch slice (same-local-index pairs would share randomness)
     key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
-    corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
-    est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
+    if _use_fused_topk(cfg):
+        import jax.numpy as jnp
+
+        from ..nn.extractor import absolute_kpt_coordinates, topk_correspondences_from_heads
+        from ..solver.procrustes_ransac import estimate_pose_topk_from_cfg
+
+        stacked = jnp.concatenate([image0, image1], axis=0)
+        kpts, depths, scores, descs = _local_extract(params, stacked, cfg_id)
+        kpts = absolute_kpt_coordinates(kpts, cfg.MICKEY.DINOV2.DOWN_FACTOR)
+        tcorr = topk_correspondences_from_heads(params, kpts, depths, scores, descs, cfg)
+        est = estimate_pose_topk_from_cfg(key, tcorr, K0, K1, cfg)
+    else:
+        corr, _ = compute_correspondences(params, image0, image1, cfg, train=False)
+        est = estimate_pose_from_cfg(key, corr, K0, K1, cfg)
     return est.R, est.t, est.confidence, est.valid
 
 

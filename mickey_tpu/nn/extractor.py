@@ -148,6 +148,62 @@ class Correspondences(NamedTuple):
         return self.scores * self.kp_scores
 
 
+class TopKCorrespondences(NamedTuple):
+    """Correspondences for the fused matcher->top-K inference route: the
+    dense (B, N0, N1) match matrices are replaced by the top-P (score, flat
+    -index) table the fused Pallas kernel emits straight from VMEM
+    (ops/fused_matcher.fused_topk_scores). Everything the solver needs —
+    nothing the dense route keeps only to be reduced."""
+
+    kps0: jnp.ndarray  # (B, N0, 2) absolute pixels
+    depth0: jnp.ndarray  # (B, N0, 1)
+    kps1: jnp.ndarray
+    depth1: jnp.ndarray
+    top_scores: jnp.ndarray  # (B, P) final scores, descending
+    top_idx: jnp.ndarray  # (B, P) int32 flat indices into the N0 x N1 matrix
+    row_ok: jnp.ndarray  # (B,) sampling-distribution validity
+
+
+def topk_correspondences_from_heads(params, kpts, depths, scores, descs, cfg):
+    """Fused matcher stage on stacked (2B) head outputs: flatten both sides
+    and reduce dual_softmax * score-outer-product to its top-P entries
+    without materializing the dense matrix (the dense route's
+    ``_correspondences_from_heads`` + approx_max_k prefilter collapse into
+    one kernel). ``kpts`` must already be absolute pixel coordinates."""
+    from ..ops.fused_matcher import dense_topk_scores, fused_topk_scores
+
+    fm = cfg.FEATURE_MATCHER.DUAL_SOFTMAX
+    b = kpts.shape[0] // 2
+    (k0, k1), (d0, d1), (s0, s1), (c0, c1) = (
+        (t[:b], t[b:]) for t in (kpts, depths, scores, descs)
+    )
+    kps0, depth0, scr0, dsc0 = _flatten_maps(k0, d0, s0, c0)
+    kps1, depth1, scr1, dsc1 = _flatten_maps(k1, d1, s1, c1)
+
+    prefilter = int(cfg.TPU.get("SAMPLING_PREFILTER", 0) or 0)
+    topl = int(cfg.TPU.get("MATCHER_TOPL", 16))
+    interpret = bool(cfg.TPU.get("PALLAS_INTERPRET", False))
+    dustbin = params["matcher"].get("dustbin_score", jnp.float32(0.0))
+    if cfg.TPU.get("MATCHER_BF16", False):
+        dsc0 = dsc0.astype(jnp.bfloat16)
+        dsc1 = dsc1.astype(jnp.bfloat16)
+    if interpret or jax.default_backend() != "cpu":
+        top_scores, top_idx, row_ok = fused_topk_scores(
+            dsc0, dsc1, scr0[..., 0], scr1[..., 0], dustbin, prefilter,
+            temperature=float(fm.TEMPERATURE), use_dustbin=bool(fm.USE_DUSTBIN),
+            row_topl=topl, interpret=interpret,
+        )
+    else:
+        # CPU fallback: dense XLA matcher + the same selection semantics
+        match = match_scores(params["matcher"], dsc0, dsc1, cfg, allow_fused=False)
+        final = match * scr0 * jnp.swapaxes(scr1, 1, 2)
+        top_scores, top_idx, row_ok = dense_topk_scores(final, prefilter, row_topl=topl)
+    return TopKCorrespondences(
+        kps0=kps0, depth0=depth0, kps1=kps1, depth1=depth1,
+        top_scores=top_scores, top_idx=top_idx, row_ok=row_ok,
+    )
+
+
 def _flatten_maps(kpts, depths, scores, descs):
     b, h, w, _ = kpts.shape
     n = h * w

@@ -399,3 +399,223 @@ def fused_dual_softmax_vjp(
     feature_matcher.py:54-83 under autograd)."""
     f = _vjp_cache(float(temperature), bool(use_dustbin), int(block_m), bool(interpret))
     return f(dsc0, dsc1, jnp.asarray(dustbin, jnp.float32))
+
+
+# -- fused matcher -> top-K ------------------------------------------------------
+#
+# The inference solver consumes the (B, N0, N1) final score matrix ONLY through
+# a top-`prefilter` reduction (solver/procrustes_ransac.py:121-131 — the
+# sampling table) plus a validity reduction. The dense fp32 matrix
+# (~16 MB/pair) therefore exists solely to be written by the matcher and
+# re-read by approx_max_k — the two largest non-backbone HBM costs at the
+# benchmark operating point (BENCHLOG round-3 headroom #1-2; reference
+# behavior being beaten: feature_matcher.py:54-83 writes the dense matrix,
+# probabilisticProcrustes.py:230-241 multinomial-samples it).
+#
+# `fused_topk_scores` keeps pass 1 (column stats) and replaces pass 2's dense
+# output with an in-VMEM per-row top-L selection of the FINAL scores
+# (dual-softmax * detection-score outer product): each (block_m, N_pad) score
+# block is reduced to L (value, global index) pairs per row via L
+# max/first-index/mask rounds, and only (B, L, M_pad) values + indices
+# (~128 KB/pair at L=8) ever reach HBM. Tiny XLA glue then takes the exact
+# top-P of the L*M_pad candidates (P = the solver prefilter). The candidate
+# set misses a true global top-P entry only when one query keypoint holds
+# more than L of the global top-P matches — rarer than the 0.95 recall target
+# the approx_max_k prefilter already accepts (recall measured in
+# tests/test_fused_matcher.py).
+#
+# Validity (the solver's row_ok: all-finite, nonnegative, positive mass —
+# reference loss_class.py:127-131) is accumulated in-kernel: per-batch total
+# mass, non-finite count and minimum over the valid region.
+
+
+def _pair_topk_kernel(
+    dsc0_ref, dsc1_ref, scr0_ref, scr1_ref, lse_col_ref, alpha_ref,
+    vals_ref, idxs_ref, stats_ref,
+    *, inv_temp: float, m_valid: int, n_valid: int, block_m: int, topl: int, n1: int,
+):
+    """Per-row top-L of dual_softmax * (scr0 x scr1), block-resident."""
+    m_i = pl.program_id(1)
+    s = _corr_block(dsc0_ref, dsc1_ref, inv_temp)  # (block_m, N_pad)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + m_i * block_m
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+
+    alpha = alpha_ref[0, 0]
+    row_max = jnp.maximum(jnp.max(s, axis=1), alpha)
+    row_sum = jnp.sum(jnp.exp(s - row_max[:, None]), axis=1) + jnp.exp(alpha - row_max)
+    lse_row = jnp.log(row_sum) + row_max
+    lse_col = lse_col_ref[0, 0]  # (N_pad,) dustbin-augmented
+
+    # final score block: softmax(axis=1)*softmax(axis=2) * kp outer product
+    p = jnp.exp(s - lse_row[:, None]) * jnp.exp(s - lse_col[None, :])
+    scr0 = scr0_ref[0, 0, pl.ds(m_i * block_m, block_m)]  # (block_m,)
+    scr1 = scr1_ref[0, 0]  # (N_pad,)
+    f = p * scr0[:, None] * scr1[None, :]
+
+    valid = (row < m_valid) & (col < n_valid)
+    fv = jnp.where(valid, f, 0.0)
+
+    # validity stats accumulated column-wise over the M-blocks (same revisited
+    # -block pattern as _col_stats_kernel); the caller reduces over columns.
+    @pl.when(m_i == 0)
+    def _():
+        stats_ref[0, 0, :] = jnp.zeros((s.shape[1],), jnp.float32)
+        stats_ref[0, 1, :] = jnp.zeros((s.shape[1],), jnp.float32)
+        stats_ref[0, 2, :] = jnp.full((s.shape[1],), jnp.inf, jnp.float32)
+
+    stats_ref[0, 0, :] += jnp.sum(fv, axis=0)  # mass
+    stats_ref[0, 1, :] += jnp.sum(
+        jnp.where(valid & ~jnp.isfinite(f), 1.0, 0.0), axis=0
+    )  # non-finite count
+    stats_ref[0, 2, :] = jnp.minimum(
+        stats_ref[0, 2, :], jnp.min(jnp.where(valid, f, jnp.inf), axis=0)
+    )
+
+    # top-L via L rounds of (max, first-max-index, mask). Scores are
+    # nonnegative, so -1 sentinels on invalid entries are never selected
+    # ahead of a valid entry; fully-invalid (padded) rows yield value -1,
+    # clamped to 0 below => excluded from sampling by the solver's
+    # scores > 0 guard (_log_weights).
+    sel = jnp.where(valid, f, -1.0)
+    big = jnp.int32(2**30)
+    grow = jnp.minimum(row[:, 0], m_valid - 1)  # (block_m,) global row index
+    for l in range(topl):
+        m = jnp.max(sel, axis=1)  # (block_m,)
+        # first index attaining the max (argmax semantics, Mosaic-friendly)
+        idx = jnp.min(jnp.where(sel == m[:, None], col, big), axis=1)
+        idx = jnp.minimum(idx, n_valid - 1)  # NaN rows: sel==m nowhere
+        vals_ref[0, l, pl.ds(m_i * block_m, block_m)] = jnp.maximum(m, 0.0)
+        idxs_ref[0, l, pl.ds(m_i * block_m, block_m)] = grow * n1 + idx
+        sel = jnp.where(col == idx[:, None], -jnp.inf, sel)
+
+
+def _exact_topk_desc(vals: jnp.ndarray, k: int):
+    """Exact descending top-k over the last axis: (values, positions).
+
+    lax.top_k with k in the thousands is pathologically slow on TPU; a full
+    descending argsort + slice is ~2x faster once k is a sizable fraction of N
+    (tools/bench_topk.py, same trade as ops/sampling.gumbel_topk_sample)."""
+    n = vals.shape[-1]
+    if k >= n:
+        order = jnp.argsort(-vals, axis=-1)
+        return jnp.take_along_axis(vals, order, axis=-1), order.astype(jnp.int32)
+    if 4 * k >= n:
+        order = jnp.argsort(-vals, axis=-1)[..., :k]
+        return jnp.take_along_axis(vals, order, axis=-1), order.astype(jnp.int32)
+    v, i = jax.lax.top_k(vals, k)
+    return v, i.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "prefilter", "temperature", "use_dustbin", "row_topl", "block_m", "interpret"
+    ),
+)
+def fused_topk_scores(
+    dsc0: jnp.ndarray,  # (B, M, C) L2-normalized descriptors
+    dsc1: jnp.ndarray,  # (B, N, C)
+    scr0: jnp.ndarray,  # (B, M) detection scores
+    scr1: jnp.ndarray,  # (B, N)
+    dustbin: jnp.ndarray,
+    prefilter: int,
+    temperature: float = 0.1,
+    use_dustbin: bool = True,
+    row_topl: int = 8,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Top-`prefilter` entries of dual_softmax(dsc0,dsc1) * (scr0 x scr1).
+
+    Returns (top_scores (B, P) fp32 desc-sorted, top_idx (B, P) int32 flat
+    indices into the M x N final-score matrix, row_ok (B,) bool validity).
+    The dense matrix never materializes in HBM (see block comment above).
+    """
+    B, M, C = dsc0.shape
+    N = dsc1.shape[1]
+    d0, d1, alpha = _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m)
+    M_pad, N_pad, C_pad = d0.shape[1], d1.shape[1], d0.shape[2]
+    m_tiles = M_pad // block_m
+    inv_temp = float(1.0 / temperature)
+
+    s0 = jnp.zeros((B, 1, M_pad), jnp.float32).at[:, 0, :M].set(scr0.astype(jnp.float32))
+    s1 = jnp.zeros((B, 1, N_pad), jnp.float32).at[:, 0, :N].set(scr1.astype(jnp.float32))
+
+    d0_spec, d1_spec = _specs(block_m, N_pad, C_pad)
+    stats = pl.pallas_call(
+        functools.partial(
+            _col_stats_kernel, inv_temp=inv_temp, m_valid=M, n_valid=N, block_m=block_m
+        ),
+        grid=(B, m_tiles),
+        in_specs=[d0_spec, d1_spec],
+        out_specs=pl.BlockSpec((1, 8, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, N_pad), jnp.float32),
+        interpret=interpret,
+    )(d0, d1)
+    lse_col = jnp.log(stats[:, 1, :]) + stats[:, 0, :]
+    lse_col = jnp.logaddexp(lse_col, alpha[0, 0])[:, None, :]
+
+    vals, idxs, vstats = pl.pallas_call(
+        functools.partial(
+            _pair_topk_kernel, inv_temp=inv_temp, m_valid=M, n_valid=N,
+            block_m=block_m, topl=row_topl, n1=N,
+        ),
+        grid=(B, m_tiles),
+        in_specs=[
+            d0_spec,
+            d1_spec,
+            pl.BlockSpec((1, 1, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, m: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, row_topl, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_topl, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, row_topl, M_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, row_topl, M_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, N_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(d0, d1, s0, s1, lse_col, alpha)
+
+    row_ok = (
+        (jnp.sum(vstats[:, 1, :], axis=-1) == 0.0)  # all finite
+        & (jnp.min(vstats[:, 2, :], axis=-1) >= 0.0)  # nonnegative
+        & (jnp.sum(vstats[:, 0, :], axis=-1) > 0.0)  # positive mass
+    )
+
+    cand_v = vals.reshape(B, row_topl * M_pad)
+    cand_i = idxs.reshape(B, row_topl * M_pad)
+    top_scores, pos = _exact_topk_desc(cand_v, prefilter)
+    top_idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+    return top_scores, top_idx, row_ok
+
+
+def dense_topk_scores(
+    scores: jnp.ndarray,  # (B, M, N) dense FINAL scores
+    prefilter: int,
+    row_topl: int = 8,
+):
+    """XLA reference of ``fused_topk_scores``' selection semantics on a dense
+    matrix (CPU fallback + test oracle): per-row top-L candidates, then exact
+    top-P. Validity matches the solver's dense row_ok."""
+    B, M, N = scores.shape
+    flat = scores.reshape(B, M * N).astype(jnp.float32)
+    row_ok = (
+        jnp.all(jnp.isfinite(flat), axis=-1)
+        & jnp.all(flat >= 0, axis=-1)
+        & (jnp.sum(flat, axis=-1) > 0)
+    )
+    s = jnp.where(jnp.isfinite(scores), scores.astype(jnp.float32), -1.0)
+    v, i = jax.lax.top_k(s, row_topl)  # (B, M, L)
+    gidx = jnp.arange(M, dtype=jnp.int32)[None, :, None] * N + i.astype(jnp.int32)
+    cand_v = jnp.maximum(v, 0.0).transpose(0, 2, 1).reshape(B, row_topl * M)
+    cand_i = gidx.transpose(0, 2, 1).reshape(B, row_topl * M)
+    top_scores, pos = _exact_topk_desc(cand_v, prefilter)
+    top_idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+    return top_scores, top_idx, row_ok

@@ -126,10 +126,113 @@ def estimate_pose(
         top_scores, top_idx = jax.lax.approx_max_k(scores_flat, prefilter, recall_target=0.95)
         logw = _log_weights(top_scores)  # (B, prefilter)
         remap = top_idx.astype(jnp.int32)  # (B, prefilter)
+        w_table = top_scores
     else:
         logw = _log_weights(scores_flat)
         remap = None
+        w_table = scores_flat
 
+    return _solve_sampled(
+        key, logw, remap, w_table, row_ok, kps0, depth0, kps1, depth1, K0, K1,
+        n1=N1, it_matches=it_matches, it_ransac=it_ransac,
+        num_samples=num_samples, num_corr=num_corr,
+        num_refinements=num_refinements, th_inlier=th_inlier,
+        th_soft_inlier=th_soft_inlier, approx_sampling=approx_sampling,
+        use_pallas_scoring=use_pallas_scoring, pallas_interpret=pallas_interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n1",
+        "it_matches",
+        "it_ransac",
+        "num_samples",
+        "num_corr",
+        "num_refinements",
+        "th_inlier",
+        "th_soft_inlier",
+        "approx_sampling",
+        "use_pallas_scoring",
+        "pallas_interpret",
+    ),
+)
+def estimate_pose_topk(
+    key: jax.Array,
+    top_scores: jnp.ndarray,  # (B, P) prefiltered final scores, desc-sorted
+    top_idx: jnp.ndarray,  # (B, P) int32 flat indices into the N0 x N1 matrix
+    row_ok: jnp.ndarray,  # (B,) sampling-distribution validity
+    kps0: jnp.ndarray,  # (B, N0, 2)
+    depth0: jnp.ndarray,  # (B, N0, 1)
+    kps1: jnp.ndarray,  # (B, N1, 2)
+    depth1: jnp.ndarray,  # (B, N1, 1)
+    K0: jnp.ndarray,
+    K1: jnp.ndarray,
+    n1: int,
+    it_matches: int = 20,
+    it_ransac: int = 100,
+    num_samples: int = 2048,
+    num_corr: int = 3,
+    num_refinements: int = 4,
+    th_inlier: float = 0.15,
+    th_soft_inlier: float = 0.3,
+    approx_sampling: bool = False,
+    use_pallas_scoring: bool = False,
+    pallas_interpret: bool = False,
+) -> PoseEstimate:
+    """``estimate_pose`` on a PRE-REDUCED top-K score table.
+
+    Entry point for the fused matcher->top-K path
+    (ops/fused_matcher.fused_topk_scores): the dense (B, N0, N1) fp32 score
+    matrix — written by the matcher and re-read by approx_max_k in the dense
+    route, the two largest non-backbone HBM costs — never exists. The caller
+    supplies the top-P (score, flat-index) table and the validity bits the
+    fused kernel accumulated in VMEM; sampling proceeds identically to the
+    prefiltered dense path (same Gumbel draws over the same distribution).
+    Reference behavior being beaten: feature_matcher.py:54-83 +
+    probabilisticProcrustes.py:230-241.
+    """
+    return _solve_sampled(
+        key,
+        _log_weights(top_scores.astype(jnp.float32)),
+        top_idx.astype(jnp.int32),
+        top_scores.astype(jnp.float32),
+        row_ok,
+        kps0, depth0, kps1, depth1, K0, K1,
+        n1=n1, it_matches=it_matches, it_ransac=it_ransac,
+        num_samples=num_samples, num_corr=num_corr,
+        num_refinements=num_refinements, th_inlier=th_inlier,
+        th_soft_inlier=th_soft_inlier, approx_sampling=approx_sampling,
+        use_pallas_scoring=use_pallas_scoring, pallas_interpret=pallas_interpret,
+    )
+
+
+def _solve_sampled(
+    key,
+    logw,  # (B, P) log sampling weights (prefiltered table or dense-flat)
+    remap,  # (B, P) int32 flat indices into the N0 x N1 matrix, or None
+    w_table,  # (B, P) score values aligned with logw
+    row_ok,  # (B,)
+    kps0, depth0, kps1, depth1, K0, K1,
+    *,
+    n1,
+    it_matches,
+    it_ransac,
+    num_samples,
+    num_corr,
+    num_refinements,
+    th_inlier,
+    th_soft_inlier,
+    approx_sampling,
+    use_pallas_scoring,
+    pallas_interpret,
+) -> PoseEstimate:
+    """Sampling + RANSAC + refinement core shared by the dense and top-K
+    entry points (reference estimate_pose_vectorized,
+    probabilisticProcrustes.py:183-348, from the multinomial draws on)."""
+    B = logw.shape[0]
+    N1 = n1
     kps0 = kps0.astype(jnp.float32)
     kps1 = kps1.astype(jnp.float32)
     depth0 = depth0.astype(jnp.float32)
@@ -163,14 +266,12 @@ def estimate_pose(
         outer_idx = jnp.take_along_axis(
             jnp.broadcast_to(remap[None], (it_matches,) + remap.shape), outer_local, axis=2
         )
-        # sampled-match weights come from the top_scores table (the exact
-        # score values of those entries) — a 4096-entry gather source instead
-        # of the ~3.7M-entry dense matrix.
-        w_table = top_scores
+        # sampled-match weights come from the w_table (the exact score values
+        # of those entries) — a P-entry gather source instead of the ~3.7M
+        # -entry dense matrix.
         w_idx = outer_local
     else:
         outer_idx = outer_local
-        w_table = scores_flat
         w_idx = outer_idx
 
     def outer_step(carry, xs):
@@ -285,6 +386,36 @@ def estimate_pose(
         d1=d1_b,
         weights=w_b,
         inlier_mask=inlier_mask,
+    )
+
+
+def estimate_pose_topk_from_cfg(key, tcorr, K0, K1, cfg):
+    """``estimate_pose_from_cfg`` for the fused top-K matcher route: ``tcorr``
+    is a TopKCorrespondences (nn/extractor.py) carrying the prefiltered
+    (score, index) table instead of dense match matrices."""
+    pc = cfg.PROCRUSTES
+    return estimate_pose_topk(
+        key,
+        tcorr.top_scores,
+        tcorr.top_idx,
+        tcorr.row_ok,
+        tcorr.kps0,
+        tcorr.depth0,
+        tcorr.kps1,
+        tcorr.depth1,
+        K0,
+        K1,
+        n1=tcorr.kps1.shape[1],
+        it_matches=pc.IT_MATCHES,
+        it_ransac=pc.IT_RANSAC,
+        num_samples=pc.NUM_SAMPLED_MATCHES,
+        num_corr=pc.NUM_CORR_3D_3D,
+        num_refinements=pc.NUM_REFINEMENTS,
+        th_inlier=pc.TH_INLIER,
+        th_soft_inlier=pc.TH_SOFT_INLIER,
+        approx_sampling=cfg.TPU.SAMPLING == "approx",
+        use_pallas_scoring=bool(cfg.TPU.get("USE_PALLAS_SCORING", True)),
+        pallas_interpret=bool(cfg.TPU.get("PALLAS_INTERPRET", False)),
     )
 
 

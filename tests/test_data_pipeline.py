@@ -218,15 +218,26 @@ class TestSubmissionEndToEnd:
         assert 0 <= metrics["Estimates for % of frames"] <= 1
         assert metrics["Estimates for % of frames"] > 0
 
-    def test_predict_shared_ref_matches_plain(self, fake_dataset):
+    @pytest.mark.parametrize("fused_topk", [False, True])
+    def test_predict_shared_ref_matches_plain(self, fake_dataset, fused_topk):
         """The shared-reference serving path (per-scene keyframe extract
         cache, cli/submission.py::predict) must produce IDENTICAL poses to
         recomputing the reference frame every pair: same programs, same
-        inputs, same per-step RANSAC keys — only the recomputation is gone."""
+        inputs, same per-step RANSAC keys — only the recomputation is gone.
+
+        Tolerance note: the keyframe extract runs as a B-image program in the
+        shared arm vs the 2B-stacked program in the plain arm — low-order-bit
+        drift between those two CPU programs is real (observed <= ~1e-7 on
+        scores). The dense route is locked at 1e-6; the fused-top-K route's
+        descending sort makes sampled-set membership sensitive to those last
+        bits near ties, so its lock is 1e-5 (still far below any discrete
+        draw flip, which moves poses by >> 1e-3)."""
         from mickey_tpu.cli.submission import predict
         from mickey_tpu.models import build_model
 
         cfg = tiny_cfg(fake_dataset)
+        cfg.TPU.FUSED_TOPK = fused_topk
+        atol = 1e-5 if fused_topk else 1e-6
         model = build_model(cfg, checkpoint="")
         loader = DataModule(cfg, drop_last_val=False).val_dataloader()
         r_plain = predict(loader, model, mesh=None, progress=False, shared_ref=False)
@@ -237,9 +248,9 @@ class TestSubmissionEndToEnd:
             assert len(r_plain[scene]) == len(r_shared[scene])
             for a, b in zip(r_plain[scene], r_shared[scene]):
                 assert a.image_name == b.image_name
-                np.testing.assert_allclose(b.q, a.q, atol=1e-6)
-                np.testing.assert_allclose(b.t, a.t, atol=1e-6)
-                np.testing.assert_allclose(b.inliers, a.inliers, rtol=1e-5)
+                np.testing.assert_allclose(b.q, a.q, atol=atol)
+                np.testing.assert_allclose(b.t, a.t, atol=atol)
+                np.testing.assert_allclose(b.inliers, a.inliers, rtol=1e-4)
 
     def test_predict_mesh_shared_ref_matches_plain(self, fake_dataset):
         """The mesh arm of the shared-reference path (sharded keyframe feats

@@ -165,3 +165,70 @@ class TestPrefilter:
         a = estimate_pose(jax.random.PRNGKey(8), **inputs, **SOLVER_KW)
         b = estimate_pose(jax.random.PRNGKey(8), **inputs, **SOLVER_KW, prefilter=10**9)
         np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
+
+
+class TestTopKEntry:
+    """estimate_pose_topk: the solver entry for the fused matcher->top-K route
+    (the dense score matrix never exists)."""
+
+    def test_recovers_pose_from_topk_table(self, rng):
+        from mickey_tpu.ops.fused_matcher import dense_topk_scores
+        from mickey_tpu.solver.procrustes_ransac import estimate_pose_topk
+
+        inputs, (R_gt, t_gt) = make_scene(rng, B=2, N=24, outlier_frac=0.4)
+        fs = inputs.pop("final_scores")
+        top_scores, top_idx, row_ok = dense_topk_scores(fs, 64, row_topl=8)
+        est = estimate_pose_topk(
+            jax.random.PRNGKey(7), top_scores, top_idx, row_ok,
+            inputs["kps0"], inputs["depth0"], inputs["kps1"], inputs["depth1"],
+            inputs["K0"], inputs["K1"], n1=int(fs.shape[2]), **SOLVER_KW,
+        )
+        assert np.asarray(est.valid).all()
+        np.testing.assert_allclose(np.asarray(est.R), R_gt, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(est.t), t_gt, atol=5e-3)
+        # same confidence scale as the dense prefiltered route
+        pref = estimate_pose(
+            jax.random.PRNGKey(7), final_scores=fs, **inputs, **SOLVER_KW, prefilter=64
+        )
+        assert np.abs(np.asarray(est.confidence) - np.asarray(pref.confidence)).max() < 3.0
+
+    def test_invalid_row_zero_pose(self, rng):
+        from mickey_tpu.ops.fused_matcher import dense_topk_scores
+        from mickey_tpu.solver.procrustes_ransac import estimate_pose_topk
+
+        inputs, _ = make_scene(rng)
+        fs = inputs.pop("final_scores")
+        top_scores, top_idx, row_ok = dense_topk_scores(fs, 64, row_topl=8)
+        row_ok = row_ok.at[0].set(False)  # as the fused kernel would on NaN
+        est = estimate_pose_topk(
+            jax.random.PRNGKey(1), top_scores, top_idx, row_ok,
+            inputs["kps0"], inputs["depth0"], inputs["kps1"], inputs["depth1"],
+            inputs["K0"], inputs["K1"], n1=int(fs.shape[2]), **SOLVER_KW,
+        )
+        v = np.asarray(est.valid)
+        assert not v[0] and v[1]
+        assert (np.asarray(est.R)[0] == 0).all()
+
+    def test_rectangular_indexing(self, rng):
+        """Flat indices must decode with the true N1 (not N0) stride."""
+        from mickey_tpu.ops.fused_matcher import dense_topk_scores
+        from mickey_tpu.solver.procrustes_ransac import estimate_pose_topk
+
+        inputs, (R_gt, t_gt) = make_scene(rng, N=24)
+        B, extra = 2, 8
+        kps1 = np.concatenate(
+            [np.asarray(inputs["kps1"]), rng.uniform(40, 500, (B, extra, 2)).astype(np.float32)], 1
+        )
+        d1 = np.concatenate(
+            [np.asarray(inputs["depth1"]), rng.uniform(1, 6, (B, extra, 1)).astype(np.float32)], 1
+        )
+        fs = np.concatenate(
+            [np.asarray(inputs.pop("final_scores")), np.full((B, 24, extra), 1e-5, np.float32)], 2
+        )
+        top_scores, top_idx, row_ok = dense_topk_scores(jnp.asarray(fs), 64, row_topl=8)
+        est = estimate_pose_topk(
+            jax.random.PRNGKey(6), top_scores, top_idx, row_ok,
+            inputs["kps0"], inputs["depth0"], jnp.asarray(kps1), jnp.asarray(d1),
+            inputs["K0"], inputs["K1"], n1=32, **SOLVER_KW,
+        )
+        np.testing.assert_allclose(np.asarray(est.R), R_gt, atol=5e-3)
