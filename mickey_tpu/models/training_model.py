@@ -24,6 +24,7 @@ from ..training.checkpoint import restore_checkpoint, save_checkpoint
 from ..training.train_step import (
     init_train_state,
     make_staged_train_step,
+    make_staged_val_step,
     make_train_step,
     make_val_step,
 )
@@ -64,6 +65,18 @@ class MicKeyTrainer:
         )
         self.train_step = make_step(cfg, mesh=tp_mesh)
         self.val_step = make_val_step(cfg, mesh=tp_mesh)
+        # cached validation epoch (round 4): val pairs are keyframe-shared
+        # (reference datasets/mapfree.py:55-58 — every pair of a scene reuses
+        # the scene keyframe as frame0), and the backbone is frozen, so its
+        # per-frame features are run-constant. When the loader provides frame
+        # identity (scene_root + pair_names), validation_step extracts each
+        # keyframe ONCE per run and only query frames pay the ViT forward —
+        # roughly halving the val-epoch backbone cost vs the reference's
+        # re-extract-both-sides validation_step (model.py:66-89). Identical
+        # math (tests/test_training.py::test_val_cached_matches_plain).
+        self._cached_val = bool(cfg.TPU.get("CACHED_VAL", True))
+        self._staged_val = make_staged_val_step(cfg, mesh=tp_mesh)
+        self._val_kf_cache = {}  # frame_key -> (Hp, Wp, C) device feature map
         from ..training.train_step import make_lr_fn
 
         self._lr_fn = make_lr_fn(cfg)  # reference LearningRateMonitor (train.py:57)
@@ -174,11 +187,86 @@ class MicKeyTrainer:
         )
 
     def validation_step(self, batch: Dict) -> Dict[str, np.ndarray]:
-        db = self._device_batch(batch)
         real_b = batch["image0"].shape[0]
         self.key, sk = jax.random.split(self.key)
-        out = self.val_step(self.state.params, self.backbone, db, sk)
+        if self._cached_val and "scene_root" in batch and "pair_names" in batch:
+            out = self._validation_step_cached(batch, sk)
+        else:
+            db = self._device_batch(batch)
+            out = self.val_step(self.state.params, self.backbone, db, sk)
         return {k: np.asarray(v)[:real_b] if np.asarray(v).ndim else np.asarray(v) for k, v in out.items()}
+
+    def _validation_step_cached(self, batch: Dict, sk):
+        """Validation with per-frame backbone-feature reuse (see __init__).
+
+        Keyframe (frame0) features resolve through: in-memory per-run cache
+        -> training disk feature cache (when one is open and holds the frame)
+        -> one padded backbone pass over the batch's missing keyframes.
+        Query (frame1) features resolve through the disk cache when it holds
+        ALL of the batch's queries, else one backbone pass — queries are
+        unique per pair, so they are never stored in the memory cache."""
+        from ..training.feature_cache import frame_key
+
+        arrays = {
+            k: batch[k] for k in _BATCH_KEYS
+            if k in batch and k not in ("image0", "image1")
+        }
+        n_dev = self.mesh.devices.size
+        arrays, real_b = pad_batch(arrays, n_dev)
+        b_pad = next(iter(arrays.values())).shape[0]
+        sharding = batch_sharding(self.mesh)
+        db = jax.device_put(arrays, sharding)
+        bb_fwd = self._staged_val.backbone_fwd
+
+        def pad_rows(x):
+            return np.concatenate([x, np.repeat(x[-1:], b_pad - real_b, axis=0)])
+
+        keys0 = [
+            frame_key(sr, p[0])
+            for sr, p in zip(batch["scene_root"], batch["pair_names"])
+        ]
+        keys1 = [
+            frame_key(sr, p[1])
+            for sr, p in zip(batch["scene_root"], batch["pair_names"])
+        ]
+        keys0 += keys0[-1:] * (b_pad - real_b)
+        keys1 += keys1[-1:] * (b_pad - real_b)
+
+        disk = self.feature_cache
+        # query side: all-or-nothing from the disk cache (one program shape)
+        if disk is not None and all(k in disk for k in keys1):
+            q_feats = jnp.asarray(disk.gather(keys1), jnp.float32)
+        else:
+            img1 = batch["image1"] if real_b == b_pad else pad_rows(batch["image1"])
+            q_feats = bb_fwd(self.backbone, jax.device_put(img1, sharding))
+
+        # keyframe side: per-frame resolution + one pass over the misses
+        missing = [
+            k for k in dict.fromkeys(keys0)
+            if k not in self._val_kf_cache and not (disk is not None and k in disk)
+        ]
+        if missing:
+            first_row = {k: keys0.index(k) for k in missing}
+            img0 = np.stack([batch["image0"][first_row[k]] for k in missing])
+            img0 = np.concatenate(
+                [img0, np.repeat(img0[-1:], b_pad - len(missing), axis=0)]
+            )
+            feats = bb_fwd(self.backbone, jax.device_put(img0, sharding))
+            for j, k in enumerate(missing):
+                self._val_kf_cache[k] = feats[j]
+            if len(self._val_kf_cache) > 2048:  # bound: ~1 keyframe/scene
+                self._val_kf_cache.clear()
+
+        def kf_row(k):
+            if k in self._val_kf_cache:
+                return self._val_kf_cache[k]
+            return jnp.asarray(disk.gather([k])[0], jnp.float32)
+
+        kf_feats = jnp.stack([kf_row(k) for k in keys0]).astype(q_feats.dtype)
+        fmap = jax.device_put(
+            jnp.concatenate([kf_feats, q_feats], axis=0), sharding
+        )
+        return self._staged_val(self.state.params, fmap, db, sk)
 
     def on_train_epoch_end(self):
         if self.curriculum:

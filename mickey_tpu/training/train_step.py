@@ -219,11 +219,49 @@ def make_staged_train_step(cfg, mesh=None):
     return train_step
 
 
+def _val_metrics_from_corr(corr, batch, key, cfg, lc, pc):
+    """Shared validation body: loss metrics + full inference solver +
+    pose/VCRE errors on a Correspondences (reference validation_step,
+    model.py:66-89). Used by both the monolithic and the staged val step."""
+    from ..metrics.pose_metrics import pose_error, vcre
+
+    final_scores = corr.scores * corr.kp_scores
+    Rgt = batch["T_0to1"][:, :3, :3]
+    tgt = batch["T_0to1"][:, :3, 3][:, None, :]
+    _, aux = metric_pose_loss(
+        final_scores, corr.kps0, corr.depth0, corr.kps1, corr.depth1,
+        batch["K_color0"], batch["K_color1"],
+        batch["Kori_color0"], batch["Kori_color1"],
+        Rgt, tgt, key, lc, jnp.float32(100.0),
+    )
+    est = estimate_pose(
+        key, final_scores, corr.kps0, corr.depth0, corr.kps1, corr.depth1,
+        batch["K_color0"], batch["K_color1"],
+        it_matches=pc.IT_MATCHES, it_ransac=pc.IT_RANSAC,
+        num_samples=pc.NUM_SAMPLED_MATCHES, num_corr=pc.NUM_CORR_3D_3D,
+        num_refinements=pc.NUM_REFINEMENTS, th_inlier=pc.TH_INLIER,
+        th_soft_inlier=pc.TH_SOFT_INLIER,
+    )
+    perr = pose_error(est.R, est.t, batch["T_0to1"])
+    repr_err = vcre(
+        est.R, est.t, batch["T_0to1"], batch["Kori_color0"],
+        H=cfg.DATASET.HEIGHT, W=cfg.DATASET.WIDTH,
+    )
+    return {
+        "loss": aux["avg_loss"],
+        "avg_loss_rot": aux["avg_loss_rot"],
+        "avg_loss_trans": aux["avg_loss_trans"],
+        "t_err_ang": perr["t_err_ang"],
+        "t_err_euc": perr["t_err_euc"],
+        "R_err": perr["R_err"],
+        "vcre": repr_err,
+        "inliers": est.confidence,
+    }
+
+
 def make_val_step(cfg, mesh=None):
     """Validation: eval-mode forward + loss metrics + full inference solver +
     pose/VCRE errors (reference validation_step, model.py:66-89)."""
-    from ..metrics.pose_metrics import pose_error, vcre
-
     lc = LossConfig.from_cfg(cfg)
     pc = cfg.PROCRUSTES
 
@@ -233,37 +271,38 @@ def make_val_step(cfg, mesh=None):
         corr, _ = compute_correspondences(
             params, batch["image0"], batch["image1"], cfg, train=False, mesh=mesh
         )
-        final_scores = corr.scores * corr.kp_scores
-        Rgt = batch["T_0to1"][:, :3, :3]
-        tgt = batch["T_0to1"][:, :3, 3][:, None, :]
-        _, aux = metric_pose_loss(
-            final_scores, corr.kps0, corr.depth0, corr.kps1, corr.depth1,
-            batch["K_color0"], batch["K_color1"],
-            batch["Kori_color0"], batch["Kori_color1"],
-            Rgt, tgt, key, lc, jnp.float32(100.0),
-        )
-        est = estimate_pose(
-            key, final_scores, corr.kps0, corr.depth0, corr.kps1, corr.depth1,
-            batch["K_color0"], batch["K_color1"],
-            it_matches=pc.IT_MATCHES, it_ransac=pc.IT_RANSAC,
-            num_samples=pc.NUM_SAMPLED_MATCHES, num_corr=pc.NUM_CORR_3D_3D,
-            num_refinements=pc.NUM_REFINEMENTS, th_inlier=pc.TH_INLIER,
-            th_soft_inlier=pc.TH_SOFT_INLIER,
-        )
-        perr = pose_error(est.R, est.t, batch["T_0to1"])
-        repr_err = vcre(
-            est.R, est.t, batch["T_0to1"], batch["Kori_color0"],
-            H=cfg.DATASET.HEIGHT, W=cfg.DATASET.WIDTH,
-        )
-        return {
-            "loss": aux["avg_loss"],
-            "avg_loss_rot": aux["avg_loss_rot"],
-            "avg_loss_trans": aux["avg_loss_trans"],
-            "t_err_ang": perr["t_err_ang"],
-            "t_err_euc": perr["t_err_euc"],
-            "R_err": perr["R_err"],
-            "vcre": repr_err,
-            "inliers": est.confidence,
-        }
+        return _val_metrics_from_corr(corr, batch, key, cfg, lc, pc)
 
     return val_step
+
+
+def make_staged_val_step(cfg, mesh=None):
+    """Validation split at the frozen-backbone boundary (val analog of
+    make_staged_train_step): ``backbone_fwd`` runs per image batch and
+    ``val_tail`` consumes a precomputed stacked (2B, Hp, Wp, C) feature map
+    (image0-rows then image1-rows). The backbone is frozen, so its per-frame
+    outputs are constant across the whole run — val pairs are keyframe-shared
+    (reference datasets/mapfree.py:55-58), so the trainer caches each scene
+    keyframe's feature map (or reads the training feature cache) and only new
+    frames pay the ViT forward (round-4 cached validation epoch; the
+    reference re-extracts both sides per pair, model.py:66-89). Identical
+    math to make_val_step on the same inputs
+    (tests/test_training.py::test_val_cached_matches_plain)."""
+    from ..nn.extractor import backbone_features
+
+    lc = LossConfig.from_cfg(cfg)
+    pc = cfg.PROCRUSTES
+
+    @jax.jit
+    def backbone_fwd(backbone, images):
+        return backbone_features({"dinov2": backbone}, images, cfg, mesh=mesh)
+
+    @jax.jit
+    def val_tail(trainable, fmap, batch, key):
+        corr, _ = compute_correspondences(
+            trainable, None, None, cfg, train=False, mesh=mesh, fmap=fmap
+        )
+        return _val_metrics_from_corr(corr, batch, key, cfg, lc, pc)
+
+    val_tail.backbone_fwd = backbone_fwd
+    return val_tail

@@ -96,6 +96,42 @@ class TestTrainer:
         }
         assert np.isfinite(agg["val_loss/loss"])
 
+    def test_val_cached_matches_plain(self, rng, tmp_path):
+        """The cached validation epoch (keyframe feature reuse through
+        make_staged_val_step) produces the same metrics as the plain
+        re-extract-both-sides val step (reference model.py:66-89)."""
+        import jax.numpy as jnp
+        from mickey_tpu.models.training_model import MicKeyTrainer
+
+        cfg = train_cfg()
+        batch = synthetic_batch(rng, B=4)
+        # all four pairs share one scene keyframe as frame0 (the Map-free val
+        # layout, reference datasets/mapfree.py:55-58)
+        batch["image0"] = np.repeat(batch["image0"][:1], 4, axis=0)
+        batch["scene_root"] = ["/data/val/s00000"] * 4
+        batch["pair_names"] = [("seq0/frame_00000.jpg", f"seq1/frame_{i:05d}.jpg") for i in range(4)]
+
+        trainer = MicKeyTrainer(cfg, out_dir=str(tmp_path), seed=5)
+        assert trainer._cached_val
+
+        trainer.key = jax.random.PRNGKey(7)
+        out_cached = trainer.validation_step(batch)
+        assert len(trainer._val_kf_cache) == 1  # one shared keyframe extracted once
+        trainer.key = jax.random.PRNGKey(7)
+        out_cached2 = trainer.validation_step(batch)  # memory-cache hit path
+
+        trainer._cached_val = False
+        trainer.key = jax.random.PRNGKey(7)
+        out_plain = trainer.validation_step(batch)
+
+        for k in out_plain:
+            np.testing.assert_allclose(
+                out_cached[k], out_plain[k], rtol=1e-5, atol=1e-5, err_msg=k
+            )
+            np.testing.assert_allclose(
+                out_cached2[k], out_plain[k], rtol=1e-5, atol=1e-5, err_msg=k
+            )
+
     def test_checkpoint_roundtrip(self, rng, tmp_path):
         from mickey_tpu.models.training_model import MicKeyTrainer
 
