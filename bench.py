@@ -118,7 +118,10 @@ def main():
 
     from mickey_tpu.config import default_config
     from mickey_tpu.nn.extractor import model_init
-    from mickey_tpu.solver.procrustes_ransac import estimate_pose_from_cfg
+    from mickey_tpu.solver.procrustes_ransac import (
+        estimate_pose_from_cfg,
+        estimate_pose_topk_from_cfg,
+    )
 
     cfg = default_config()
     params = model_init(jax.random.PRNGKey(0), cfg)
@@ -139,9 +142,20 @@ def main():
     cfg_id = id(cfg)
     rp._CFG_REGISTRY[cfg_id] = cfg
 
+    # Fused matcher->top-K route (round 4, cfg.TPU.FUSED_TOPK, default on):
+    # the dual-softmax kernel emits the top-P (score, index) table straight
+    # from VMEM and the dense (B, N0, N1) fp32 score matrix never exists —
+    # this is the production serving route (models/relative_pose.py), so the
+    # bench measures it. MICKEY_BENCH_FUSED_TOPK=0 restores the dense route
+    # (the round-1..3 basis / exact reference distribution).
+    use_topk = rp._use_fused_topk(cfg) and os.environ.get(
+        "MICKEY_BENCH_FUSED_TOPK", "1"
+    ) == "1"
+    solve = estimate_pose_topk_from_cfg if use_topk else estimate_pose_from_cfg
+
     def one_pass(im0, im1, key, eps):
-        corr = rp._staged_correspondences(params, im0 + eps, im1, cfg_id)
-        est = estimate_pose_from_cfg(key, corr, K, K, cfg)  # jitted internally
+        corr = rp._staged_correspondences(params, im0 + eps, im1, cfg_id, topk=use_topk)
+        est = solve(key, corr, K, K, cfg)  # jitted internally
         return jnp.sum(est.confidence)
 
     key = jax.random.PRNGKey(0)
@@ -167,13 +181,15 @@ def main():
 
     ref_slices = []
 
+    match_feats = rp._match_feats_topk_jit if use_topk else rp._match_feats_jit
+
     def one_pass_shared(im1, key, eps):
         ref_feats = tuple(
             jnp.concatenate([s[j] for s in ref_slices], axis=0) for j in range(4)
         )
         q_feats = extract(im1 + eps)
-        corr = rp._match_feats_jit(params, ref_feats, q_feats, cfg_id)
-        est = estimate_pose_from_cfg(key, corr, K, K, cfg)
+        corr = match_feats(params, ref_feats, q_feats, cfg_id)
+        est = solve(key, corr, K, K, cfg)
         return jnp.sum(est.confidence)
 
     # warm the shared-layout programs (B-image extract + _match_feats_jit are
@@ -245,6 +261,7 @@ def main():
                 "batch": BATCH,  # comparison basis (ADVICE r2: 8 = reference test batch)
                 # headline basis + both measured rates (module docstring)
                 "layout": "benchmark_shared_ref" if LAYOUT == "benchmark" else "general",
+                "fused_topk": use_topk,  # round-4 matcher->top-K route (module note)
                 "benchmark_pairs_per_sec": round(rate(iv_shared), 3),
                 "general_pairs_per_sec": round(rate(iv_general), 3),
                 "mean_pairs_per_sec": round(BATCH / float(np.mean(headline_iv)), 3),

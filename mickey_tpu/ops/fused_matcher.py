@@ -507,31 +507,16 @@ def _exact_topk_desc(vals: jnp.ndarray, k: int):
     return v, i.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "prefilter", "temperature", "use_dustbin", "row_topl", "block_m", "interpret"
-    ),
-)
-def fused_topk_scores(
-    dsc0: jnp.ndarray,  # (B, M, C) L2-normalized descriptors
-    dsc1: jnp.ndarray,  # (B, N, C)
-    scr0: jnp.ndarray,  # (B, M) detection scores
-    scr1: jnp.ndarray,  # (B, N)
-    dustbin: jnp.ndarray,
-    prefilter: int,
-    temperature: float = 0.1,
-    use_dustbin: bool = True,
-    row_topl: int = 8,
-    block_m: int = 256,
-    interpret: bool = False,
+def _topk_candidates(
+    dsc0, dsc1, scr0, scr1, dustbin,
+    temperature, use_dustbin, row_topl, block_m, interpret,
 ):
-    """Top-`prefilter` entries of dual_softmax(dsc0,dsc1) * (scr0 x scr1).
+    """Kernel stage of ``fused_topk_scores``: per-row top-L candidate table.
 
-    Returns (top_scores (B, P) fp32 desc-sorted, top_idx (B, P) int32 flat
-    indices into the M x N final-score matrix, row_ok (B,) bool validity).
-    The dense matrix never materializes in HBM (see block comment above).
-    """
+    Returns (cand_v (B, L*M_pad) fp32, cand_i (B, L*M_pad) int32 flat indices,
+    row_ok (B,) validity). Exposed separately so stage benches
+    (tools/bench_fused_stage.py) can time the kernels apart from the final
+    top-P selection."""
     B, M, C = dsc0.shape
     N = dsc1.shape[1]
     d0, d1, alpha = _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m)
@@ -591,7 +576,50 @@ def fused_topk_scores(
 
     cand_v = vals.reshape(B, row_topl * M_pad)
     cand_i = idxs.reshape(B, row_topl * M_pad)
-    top_scores, pos = _exact_topk_desc(cand_v, prefilter)
+    return cand_v, cand_i, row_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "prefilter", "temperature", "use_dustbin", "row_topl", "block_m",
+        "interpret", "select",
+    ),
+)
+def fused_topk_scores(
+    dsc0: jnp.ndarray,  # (B, M, C) L2-normalized descriptors
+    dsc1: jnp.ndarray,  # (B, N, C)
+    scr0: jnp.ndarray,  # (B, M) detection scores
+    scr1: jnp.ndarray,  # (B, N)
+    dustbin: jnp.ndarray,
+    prefilter: int,
+    temperature: float = 0.1,
+    use_dustbin: bool = True,
+    row_topl: int = 8,
+    block_m: int = 256,
+    interpret: bool = False,
+    select: str = "exact",
+):
+    """Top-`prefilter` entries of dual_softmax(dsc0,dsc1) * (scr0 x scr1).
+
+    Returns (top_scores (B, P) fp32 desc-sorted, top_idx (B, P) int32 flat
+    indices into the M x N final-score matrix, row_ok (B,) bool validity).
+    The dense matrix never materializes in HBM (see block comment above).
+
+    ``select``: final reduction over the L*M_pad candidates — "exact"
+    (descending sort semantics) or "approx" (jax.lax.approx_max_k,
+    recall_target=0.95 — the SAME reduction the dense route's prefilter
+    already applies to the full matrix, solver/procrustes_ransac.py:126, so
+    its miss model is already covered by the solver's statistical gates)."""
+    cand_v, cand_i, row_ok = _topk_candidates(
+        dsc0, dsc1, scr0, scr1, dustbin,
+        temperature, use_dustbin, row_topl, block_m, interpret,
+    )
+    if select == "approx" and not interpret:
+        top_scores, pos = jax.lax.approx_max_k(cand_v, prefilter, recall_target=0.95)
+        pos = pos.astype(jnp.int32)
+    else:
+        top_scores, pos = _exact_topk_desc(cand_v, prefilter)
     top_idx = jnp.take_along_axis(cand_i, pos, axis=-1)
     return top_scores, top_idx, row_ok
 
