@@ -98,16 +98,17 @@ def run_demo_inference(args):
 
     if args.generate_3D_vis:
         from ..solver.procrustes_ransac import extract_inliers
-        from ..utils.viz3d import create_point_cloud_from_inliers, get_render
+        from ..utils.render3d import get_render_offscreen
+        from ..utils.viz3d import create_point_cloud_from_inliers
 
         print("Generating 3D visualization image...")
         inliers = extract_inliers(out.estimate, 0)
         pts, colors = create_point_cloud_from_inliers(inliers, K0[0])
         P = np.eye(4)
         P[:3, :3], P[:3, 3] = R, t
-        frame = get_render(
-            P, K0[0], K1[0], (im0.shape[1], im0.shape[0]), pts, colors,
-            confidence=conf, max_confidence=cfg.PROCRUSTES.NUM_SAMPLED_MATCHES,
+        frame = get_render_offscreen(
+            P, im0, im1, K0[0], K1[0], pts, colors,
+            total_matches=cfg.PROCRUSTES.NUM_SAMPLED_MATCHES,
         )
         vis_path = _path(args.im_path_ref, "3d_vis")
         cv2.imwrite(vis_path, frame[:, :, ::-1])

@@ -168,8 +168,13 @@ def _svd3x3_bwd(residuals, cot):
     s2 = S * S  # (..., 3)
     D = s2[..., None, :] - s2[..., :, None]  # D_ij = s_j^2 - s_i^2
     # Relative regularization of the gap inverse: exact where gaps are healthy,
-    # bounded where singular values (nearly) coincide.
-    reg = (1e-5 * (s2[..., 0:1, None] + 1e-30)) ** 2
+    # bounded where singular values (nearly) coincide. The absolute 1e-30
+    # floor keeps the division defined when H == 0 exactly (all sampled
+    # correspondences coincident — score collapse can produce this): there
+    # s2 == 0, the relative term (1e-5 * 1e-30)^2 underflows to 0 in fp32,
+    # and D/(D*D) would be 0/0 = NaN, which apply_if_finite then turns into
+    # a permanently frozen training state.
+    reg = (1e-5 * (s2[..., 0:1, None] + 1e-30)) ** 2 + 1e-30
     F = D / (D * D + reg)
 
     hp = jax.lax.Precision.HIGHEST

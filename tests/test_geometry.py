@@ -98,6 +98,22 @@ class TestSVD3x3:
         assert np.isfinite(np.asarray(U)).all()
         assert np.isfinite(np.asarray(V)).all()
 
+    def test_zero_and_tiny_matrix_grad_no_nan(self):
+        """Backward regression: at H == 0 the gap regularizer's relative term
+        underflows to 0 in fp32, and an unfloored D/(D*D+reg) is 0/0 = NaN.
+        Hit in training when score collapse makes all sampled correspondences
+        coincident (round 4); apply_if_finite then froze the params forever."""
+        import jax
+
+        def f(H):
+            U, S, V = svd3x3(H)
+            return jnp.sum(U) + jnp.sum(S) + jnp.sum(V)
+
+        for scale in (0.0, 1e-20, 1e-8):
+            H = jnp.full((2, 3, 3), scale, jnp.float32)
+            g = jax.grad(f)(H)
+            assert np.isfinite(np.asarray(g)).all(), scale
+
 
 class TestProcrustes:
     def _make_problem(self, rng, B=8, N=32, noise=0.0):
