@@ -89,9 +89,18 @@ A100_REFERENCE_PAIRS_PER_SEC = 22.0  # derived; see BASELINE.md round-2 section
 TARGET_MULTIPLIER = 5.0
 POD_CHIPS = 8  # the north-star target is defined on a v5e-8 pod
 
-BATCH = int(os.environ.get("MICKEY_BENCH_BATCH", 16))
-H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
-ITERS = int(os.environ.get("MICKEY_BENCH_ITERS", 10))
+# MICKEY_BENCH_DRYRUN=1: tiny-shape CPU compile+run of the full bench path
+# (both layouts, both routes' program structure) checking the programs and
+# the single-JSON-line contract, NOT performance. Used by tools/round_gate.py
+# before end-of-round snapshots.
+DRYRUN = os.environ.get("MICKEY_BENCH_DRYRUN") == "1"
+
+BATCH = int(os.environ.get("MICKEY_BENCH_BATCH", 2 if DRYRUN else 16))
+if DRYRUN:
+    H, W = 126, 112
+else:
+    H, W = 714, 532  # 540x720 (WxH) cropped to /14 multiples, mickey_extractor.py:46
+ITERS = int(os.environ.get("MICKEY_BENCH_ITERS", 2 if DRYRUN else 10))
 # Double-buffered serving (DEFAULT, round 3): batch i+1 is dispatched before
 # batch i's scalar is fetched, so the per-dispatch tunnel RTT overlaps device
 # compute. This is exactly how production serves (cli/submission.py's predict
@@ -108,7 +117,11 @@ LAYOUT = os.environ.get("MICKEY_BENCH_LAYOUT", "benchmark")
 
 
 def main():
-    host_load_guard()
+    if not DRYRUN:
+        host_load_guard()
+    from mickey_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # MICKEY_PLATFORM=cpu for the round-gate dryrun
     import jax
     import jax.numpy as jnp
 
@@ -124,6 +137,19 @@ def main():
     )
 
     cfg = default_config()
+    if DRYRUN:
+        # tiny model + solver budget: N = (126/14)*(112/14) = 72 keypoints,
+        # so the production 20x100x2048 budget and the 4096 prefilter would
+        # exceed the category count; structure (both routes, both layouts,
+        # staged programs, JSON contract) is what the dryrun checks
+        cfg.MICKEY.DINOV2.VARIANT = "vit_small"
+        cfg.MICKEY.DINOV2.CHANNEL_DIM = 384
+        cfg.MICKEY.KP_HEADS.BLOCKS_DIM = [32, 16, 128, 8]
+        cfg.MICKEY.DSC_HEAD.LAST_DIM = 16
+        pc = cfg.PROCRUSTES
+        pc.IT_MATCHES, pc.IT_RANSAC = 2, 4
+        pc.NUM_SAMPLED_MATCHES, pc.NUM_CORR_3D_3D, pc.NUM_REFINEMENTS = 12, 3, 1
+        cfg.TPU.SAMPLING_PREFILTER = 64
     params = model_init(jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)

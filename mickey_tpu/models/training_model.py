@@ -233,12 +233,19 @@ class MicKeyTrainer:
         keys1 += keys1[-1:] * (b_pad - real_b)
 
         disk = self.feature_cache
+        # One cfg-derived dtype for the whole stacked fmap regardless of
+        # cache-hit pattern: disk rows and backbone outputs can differ (fp32
+        # cache vs bf16 FLOAT16 backbone), and a mixed val_tail input dtype
+        # means per-batch recompiles + metric drift (advisor round 4, low).
+        val_dtype = (
+            jnp.bfloat16 if self.cfg.MICKEY.DINOV2.get("FLOAT16", False) else jnp.float32
+        )
         # query side: all-or-nothing from the disk cache (one program shape)
         if disk is not None and all(k in disk for k in keys1):
-            q_feats = jnp.asarray(disk.gather(keys1), jnp.float32)
+            q_feats = jnp.asarray(disk.gather(keys1), val_dtype)
         else:
             img1 = batch["image1"] if real_b == b_pad else pad_rows(batch["image1"])
-            q_feats = bb_fwd(self.backbone, jax.device_put(img1, sharding))
+            q_feats = bb_fwd(self.backbone, jax.device_put(img1, sharding)).astype(val_dtype)
 
         # keyframe side: per-frame resolution + one pass over the misses
         missing = [
@@ -255,14 +262,20 @@ class MicKeyTrainer:
             for j, k in enumerate(missing):
                 self._val_kf_cache[k] = feats[j]
             if len(self._val_kf_cache) > 2048:  # bound: ~1 keyframe/scene
-                self._val_kf_cache.clear()
+                # Evict only entries the in-flight batch does not need: kf_row
+                # below must still find this batch's keys (clearing them here
+                # would send fresh extractions to the disk-cache fallback,
+                # which lacks them by construction — advisor round 4, medium).
+                keep = set(keys0)
+                for k in [k for k in self._val_kf_cache if k not in keep]:
+                    del self._val_kf_cache[k]
 
         def kf_row(k):
             if k in self._val_kf_cache:
                 return self._val_kf_cache[k]
-            return jnp.asarray(disk.gather([k])[0], jnp.float32)
+            return jnp.asarray(disk.gather([k])[0], val_dtype)
 
-        kf_feats = jnp.stack([kf_row(k) for k in keys0]).astype(q_feats.dtype)
+        kf_feats = jnp.stack([kf_row(k) for k in keys0]).astype(val_dtype)
         fmap = jax.device_put(
             jnp.concatenate([kf_feats, q_feats], axis=0), sharding
         )

@@ -608,9 +608,11 @@ def fused_topk_scores(
 
     ``select``: final reduction over the L*M_pad candidates — "exact"
     (descending sort semantics) or "approx" (jax.lax.approx_max_k,
-    recall_target=0.95 — the SAME reduction the dense route's prefilter
-    already applies to the full matrix, solver/procrustes_ransac.py:126, so
-    its miss model is already covered by the solver's statistical gates)."""
+    recall_target=0.95). NOTE the approx variant runs over the L*M_pad
+    candidate table, NOT the full M x N matrix the dense route's prefilter
+    reduces (solver/procrustes_ransac.py:126): its misses compound with the
+    kernel's per-row top-L truncation, so its recall profile differs from the
+    dense route's. Bench-only; production uses "exact" (the default)."""
     cand_v, cand_i, row_ok = _topk_candidates(
         dsc0, dsc1, scr0, scr1, dustbin,
         temperature, use_dustbin, row_topl, block_m, interpret,

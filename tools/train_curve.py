@@ -18,7 +18,7 @@ Writes TRAIN_CURVE_r{N}.json at the repo root:
 Used by tests/test_convergence.py (short CPU run, asserts the drop) and run
 standalone per round for the committed artifact:
 
-    python tools/train_curve.py [--steps 300] [--round 4]
+    python tools/train_curve.py [--steps 300] [--round 5]
 """
 
 from __future__ import annotations
@@ -38,7 +38,34 @@ def overfit_cfg(lr: float = 4e-4):
     """Tiny-model config: same structure as production (all four heads,
     matcher, solver, loss), scaled down for a CPU overfit loop. No
     curriculum masking — every pair contributes every step, so the curve is
-    a clean optimization signal."""
+    a clean optimization signal.
+
+    Two recipe choices condition the tiny-scale problem (round-5 diagnosis of
+    the round-4 plateau, BENCHLOG round 5):
+
+      * Sigmoid depth parametrization (``MAX_DEPTH * sigmoid``, the option the
+        reference ships at mickey_extractor.py:213-216; its production recipes
+        use the raw linear head). A raw linear depth head initializes
+        zero-centered, so at this scale every Kabsch covariance is
+        near-rank-deficient (3D points collapse at the origin, half behind the
+        camera), all hypotheses are invalid, the tanh-clipped loss saturates,
+        and REINFORCE coefficients vanish — measured: grad_norm 0.005 by step
+        120, solver pinned at the zero-pose fallback (R_err = arccos(-1/2) =
+        120 deg exactly). The sigmoid initializes depths at ~MAX_DEPTH/2,
+        inside the synthetic scene's 2-5 m range, making the overfit problem
+        well-posed from step 0.
+      * StepLR 0.5x/40 steps (the reference's own scheduler option,
+        model.py:282-289): at a constant 4e-4 the run converges by ~step 40
+        (R_err 83->13 deg) then destabilizes as the sharpening score
+        distribution raises REINFORCE variance; the decay pins it.
+
+    The null hypothesis stays ON (production fidelity): ablating it measurably
+    hurts — it is the fixed reference point that gives the sampler gradient
+    signal while all real hypotheses are bad. Note it also floors the
+    training loss at ~0.25 here: at S=24 samples the null's softmax weight
+    softmax([~S, 0.35*S]/20) stays ~0.3 (at the production S=512 it is ~6e-8),
+    which is why the convergence gates compare like-for-like eval losses
+    rather than demanding an absolute ratio below that floor."""
     from mickey_tpu.config import default_config
 
     cfg = default_config()
@@ -47,10 +74,14 @@ def overfit_cfg(lr: float = 4e-4):
     cfg.MICKEY.DINOV2.FLOAT16 = False
     cfg.MICKEY.KP_HEADS.BLOCKS_DIM = [32, 16, 128, 8]
     cfg.MICKEY.DSC_HEAD.LAST_DIM = 16
+    cfg.MICKEY.KP_HEADS.USE_DEPTHSIGMOID = True
+    cfg.MICKEY.KP_HEADS.MAX_DEPTH = 8
     cfg.DATASET.WIDTH = 112
     cfg.DATASET.HEIGHT = 126
     cfg.TRAINING.BATCH_SIZE = 8
     cfg.TRAINING.LR = lr
+    cfg.TRAINING.LR_STEP_INTERVAL = 40
+    cfg.TRAINING.LR_STEP_GAMMA = 0.5
     cfg.LOSS_CLASS.CURRICULUM_LEARNING.TRAIN_CURRICULUM = False
     cfg.LOSS_CLASS.CURRICULUM_LEARNING.TRAIN_WITH_TOPK = False
     gh = cfg.LOSS_CLASS.GENERATE_HYPOTHESES
@@ -370,10 +401,18 @@ def run_curve(
     # understate the drop.
     head = float(curve["eval"]["loss"][0])
     tail = float(np.mean(curve["loss"][-w:]))
+    # like-for-like estimator pair (advisor round 4): BOTH endpoints are the
+    # deterministic fixed-key eval loss — the train-window tail mixes
+    # stochastic REINFORCE draws into one side of the ratio
+    eval_head = float(curve["eval"]["loss"][0])
+    eval_tail = float(curve["eval"]["loss"][-1])
     curve.update(
         initial_loss=head,
         final_loss=tail,
         loss_ratio=tail / head if head else float("nan"),
+        initial_eval_loss=eval_head,
+        final_eval_loss=eval_tail,
+        eval_loss_ratio=eval_tail / eval_head if eval_head else float("nan"),
         initial_train_loss_window=float(np.mean(curve["loss"][:w])),
         initial_R_err=curve["eval"]["R_err_med"][0],
         final_R_err=curve["eval"]["R_err_med"][-1],
@@ -396,7 +435,7 @@ def main():
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=4e-4)
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--mode", choices=("fmap", "images"), default="fmap")
     ap.add_argument("--tpu", action="store_true", help="run on the real chip")
