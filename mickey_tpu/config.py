@@ -299,6 +299,16 @@ def default_config() -> Config:
                 # only; training keeps the dense differentiable path.
                 "FUSED_TOPK": True,
                 "MATCHER_TOPL": 16,
+                # fused matcher->top-K TRAINING route: the loss samples from
+                # the kernel's top-P table and reconstructs log final scores
+                # from grad-carrying row/col logsumexps, so the dense match
+                # matrix (+ its backward cotangent) never exists in training
+                # either (ops/fused_matcher.fused_topk_scores_train,
+                # training/loss.py::metric_pose_loss_topk). Default OFF: the
+                # dense route is the gradient-parity reference; this one is
+                # gradient-consistent with it (tests/test_fused_matcher.py)
+                # and A/B'd on chip in BENCHLOG round 5.
+                "TRAIN_FUSED_TOPK": False,
                 "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
             },

@@ -288,3 +288,87 @@ def compute_correspondences(
         depth_map1=d1,
     )
     return corr, new_params
+
+
+class TrainTopKCorrespondences(NamedTuple):
+    """Correspondences for the fused matcher->top-K TRAINING route
+    (cfg.TPU.TRAIN_FUSED_TOPK): per-image features stay grad-carrying, the
+    dense match matrices are replaced by the detached top-P sampling table +
+    the grad-carrying row/column logsumexps that reconstruct log final
+    scores at sampled entries (ops/fused_matcher.fused_topk_scores_train)."""
+
+    kps0: jnp.ndarray  # (B, N0, 2) absolute pixels, grad-carrying
+    depth0: jnp.ndarray  # (B, N0, 1)
+    scr0: jnp.ndarray  # (B, N0, 1)
+    dsc0: jnp.ndarray  # (B, N0, C)
+    kps1: jnp.ndarray
+    depth1: jnp.ndarray
+    scr1: jnp.ndarray
+    dsc1: jnp.ndarray
+    top_scores: jnp.ndarray  # (B, P) detached final scores, descending
+    top_idx: jnp.ndarray  # (B, P) int32 flat indices
+    row_ok: jnp.ndarray  # (B,)
+    lse_row: jnp.ndarray  # (B, N0) grad-carrying
+    lse_col: jnp.ndarray  # (B, N1) grad-carrying
+
+
+def compute_correspondences_topk_train(
+    params: Params,
+    image0: jnp.ndarray,
+    image1: jnp.ndarray,
+    cfg,
+    axis_name=None,
+    mesh=None,
+    fmap: jnp.ndarray = None,
+) -> Tuple[TrainTopKCorrespondences, Params]:
+    """Training-route analog of ``compute_correspondences`` that never
+    materializes the dense match matrices (train=True implied): heads on the
+    stacked 2B feature map, then ops/fused_matcher.fused_topk_scores_train
+    (dense XLA fallback off-TPU). Consumed by
+    training/loss.py::metric_pose_loss_topk via train_step's
+    cfg.TPU.TRAIN_FUSED_TOPK gate."""
+    from ..ops.fused_matcher import dense_topk_scores_train, fused_topk_scores_train
+
+    assert cfg.FEATURE_MATCHER.TYPE == "DualSoftmax", (
+        "TRAIN_FUSED_TOPK supports the DualSoftmax matcher only"
+    )
+    df = cfg.MICKEY.DINOV2.DOWN_FACTOR
+    if fmap is None:
+        b = image0.shape[0]
+        stacked = jnp.concatenate([image0, image1], axis=0)
+        fmap = backbone_features(params, stacked, cfg, mesh=mesh)
+    else:
+        b = fmap.shape[0] // 2 if image0 is None else image0.shape[0]
+        fmap = fmap.astype(jnp.float32)
+    (kpts, depths, scores, descs), new_params = heads_apply(
+        params, fmap, cfg, train=True, axis_name=axis_name
+    )
+    kpts = absolute_kpt_coordinates(kpts, df)
+    (k0, k1), (d0, d1), (s0, s1), (c0, c1) = (
+        (t[:b], t[b:]) for t in (kpts, depths, scores, descs)
+    )
+    kps0, depth0, scr0, dsc0 = _flatten_maps(k0, d0, s0, c0)
+    kps1, depth1, scr1, dsc1 = _flatten_maps(k1, d1, s1, c1)
+
+    fm = cfg.FEATURE_MATCHER.DUAL_SOFTMAX
+    prefilter = int(cfg.TPU.get("SAMPLING_PREFILTER", 0) or 0)
+    topl = int(cfg.TPU.get("MATCHER_TOPL", 16))
+    interpret = bool(cfg.TPU.get("PALLAS_INTERPRET", False))
+    dustbin = params["matcher"].get("dustbin_score", jnp.float32(0.0))
+    kw = dict(
+        prefilter=prefilter, temperature=float(fm.TEMPERATURE),
+        use_dustbin=bool(fm.USE_DUSTBIN), row_topl=topl,
+    )
+    if interpret or jax.default_backend() != "cpu":
+        tk = fused_topk_scores_train(
+            dsc0, dsc1, scr0[..., 0], scr1[..., 0], dustbin, interpret=interpret, **kw
+        )
+    else:
+        tk = dense_topk_scores_train(dsc0, dsc1, scr0[..., 0], scr1[..., 0], dustbin, **kw)
+
+    corr = TrainTopKCorrespondences(
+        kps0=kps0, depth0=depth0, scr0=scr0, dsc0=dsc0,
+        kps1=kps1, depth1=depth1, scr1=scr1, dsc1=dsc1,
+        top_scores=tk[0], top_idx=tk[1], row_ok=tk[2], lse_row=tk[3], lse_col=tk[4],
+    )
+    return corr, new_params

@@ -431,7 +431,7 @@ def fused_dual_softmax_vjp(
 
 def _pair_topk_kernel(
     dsc0_ref, dsc1_ref, scr0_ref, scr1_ref, lse_col_ref, alpha_ref,
-    vals_ref, idxs_ref, stats_ref,
+    vals_ref, idxs_ref, stats_ref, lse_row_ref,
     *, inv_temp: float, m_valid: int, n_valid: int, block_m: int, topl: int, n1: int,
 ):
     """Per-row top-L of dual_softmax * (scr0 x scr1), block-resident."""
@@ -445,6 +445,11 @@ def _pair_topk_kernel(
     row_max = jnp.maximum(jnp.max(s, axis=1), alpha)
     row_sum = jnp.sum(jnp.exp(s - row_max[:, None]), axis=1) + jnp.exp(alpha - row_max)
     lse_row = jnp.log(row_sum) + row_max
+    # emitted for the TRAINING route (fused_topk_scores_train): log of a
+    # sampled final score is linear in (s, lse_row, lse_col), so the
+    # REINFORCE surrogate only needs these two logsumexps grad-carrying —
+    # never the dense matrix. Costs one (1, M_pad) row write per block.
+    lse_row_ref[0, 0, pl.ds(m_i * block_m, block_m)] = lse_row
     lse_col = lse_col_ref[0, 0]  # (N_pad,) dustbin-augmented
 
     # final score block: softmax(axis=1)*softmax(axis=2) * kp outer product
@@ -514,9 +519,9 @@ def _topk_candidates(
     """Kernel stage of ``fused_topk_scores``: per-row top-L candidate table.
 
     Returns (cand_v (B, L*M_pad) fp32, cand_i (B, L*M_pad) int32 flat indices,
-    row_ok (B,) validity). Exposed separately so stage benches
-    (tools/bench_fused_stage.py) can time the kernels apart from the final
-    top-P selection."""
+    row_ok (B,) validity, lse_row (B, 1, M_pad), lse_col (B, 1, N_pad)).
+    Exposed separately so stage benches (tools/bench_fused_stage.py) can time
+    the kernels apart from the final top-P selection."""
     B, M, C = dsc0.shape
     N = dsc1.shape[1]
     d0, d1, alpha = _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m)
@@ -541,7 +546,7 @@ def _topk_candidates(
     lse_col = jnp.log(stats[:, 1, :]) + stats[:, 0, :]
     lse_col = jnp.logaddexp(lse_col, alpha[0, 0])[:, None, :]
 
-    vals, idxs, vstats = pl.pallas_call(
+    vals, idxs, vstats, lse_row = pl.pallas_call(
         functools.partial(
             _pair_topk_kernel, inv_temp=inv_temp, m_valid=M, n_valid=N,
             block_m=block_m, topl=row_topl, n1=N,
@@ -559,11 +564,13 @@ def _topk_candidates(
             pl.BlockSpec((1, row_topl, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, row_topl, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, row_topl, M_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, row_topl, M_pad), jnp.int32),
             jax.ShapeDtypeStruct((B, 8, N_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, M_pad), jnp.float32),
         ],
         interpret=interpret,
     )(d0, d1, s0, s1, lse_col, alpha)
@@ -576,7 +583,7 @@ def _topk_candidates(
 
     cand_v = vals.reshape(B, row_topl * M_pad)
     cand_i = idxs.reshape(B, row_topl * M_pad)
-    return cand_v, cand_i, row_ok
+    return cand_v, cand_i, row_ok, lse_row, lse_col
 
 
 @functools.partial(
@@ -613,7 +620,7 @@ def fused_topk_scores(
     reduces (solver/procrustes_ransac.py:126): its misses compound with the
     kernel's per-row top-L truncation, so its recall profile differs from the
     dense route's. Bench-only; production uses "exact" (the default)."""
-    cand_v, cand_i, row_ok = _topk_candidates(
+    cand_v, cand_i, row_ok, _, _ = _topk_candidates(
         dsc0, dsc1, scr0, scr1, dustbin,
         temperature, use_dustbin, row_topl, block_m, interpret,
     )
@@ -624,6 +631,232 @@ def fused_topk_scores(
         top_scores, pos = _exact_topk_desc(cand_v, prefilter)
     top_idx = jnp.take_along_axis(cand_i, pos, axis=-1)
     return top_scores, top_idx, row_ok
+
+
+# -- fused matcher -> top-K for TRAINING ------------------------------------------
+#
+# The REINFORCE surrogate (training/loss.py) needs two things from the
+# matcher: (a) a sampling table of the largest final scores (detached — the
+# reference's torch.multinomial weights, loss_class.py:136-159) and (b) the
+# GRADIENT of log(final_score) at the sampled entries. With
+# P_ij = exp(2 s_ij - lse_row_i - lse_col_j) (dual-softmax product) and
+# final_ij = P_ij * scr0_i * scr1_j,
+#
+#     log final_ij = 2 s_ij - lse_row_i - lse_col_j + log scr0_i + log scr1_j
+#
+# is LINEAR in the correlation logit s_ij and the two logsumexps — so the
+# dense (B, N0, N1) matrix is needed in NEITHER direction: the loss gathers
+# descriptor rows at the sampled indices (tiny) and differentiates through
+# grad-carrying lse_row/lse_col. Their VJP is one streaming Pallas pass:
+# given cotangents gr (B, M), gc (B, N),
+#
+#     dS_ij  = gr_i * exp(s_ij - lse_row_i) + gc_j * exp(s_ij - lse_col_j)
+#     d dsc0 = dS @ dsc1 / T,   d dsc1 = dS^T @ dsc0 / T
+#     d alpha = sum_i gr_i exp(a - lse_row_i) + sum_j gc_j exp(a - lse_col_j)
+#
+# (row softmax incl. the dustbin column / col softmax incl. the dustbin row —
+# the closed forms because the dustbin entries carry no cotangent of their
+# own). Versus the dense training route (fused_dual_softmax_vjp output *
+# kp-score outer product -> metric_pose_loss), this removes the (B, N0, N1)
+# match matrix, the kp_scores outer product, the final_scores product AND
+# their backward cotangents from HBM entirely.
+
+
+def _lse_bwd_kernel(
+    dsc0_ref, dsc1_ref, gr_ref, gc_ref, lse_row_ref, lse_col_ref,
+    dd0_ref, dd1_ref,
+    *, inv_temp: float, n_valid: int,
+):
+    """dS = gr*exp(s-lse_row) + gc*exp(s-lse_col); dd0/dd1 like _bwd_grads."""
+    m_i = pl.program_id(1)
+    s = _corr_block(dsc0_ref, dsc1_ref, inv_temp)
+    block_m = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    lse_row = lse_row_ref[0, 0, pl.ds(m_i * block_m, block_m)][:, None]
+    lse_col = lse_col_ref[0, 0][None, :]
+    gr = gr_ref[0, 0, pl.ds(m_i * block_m, block_m)][:, None]
+    gc = gc_ref[0, 0][None, :]
+    # padded rows: gr = 0 kills the first term; the second term leaves
+    # garbage only in dd0 rows >= M (cropped by the caller) and cannot reach
+    # dd1 because the padded dsc0 rows are zero.
+    dS = gr * jnp.exp(s - lse_row) + gc * jnp.exp(s - lse_col)
+    d1 = dsc1_ref[0].astype(jnp.float32)
+    d0 = dsc0_ref[0].astype(jnp.float32)
+    dd0_ref[0] = (
+        jax.lax.dot_general(dS, d1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        * inv_temp
+    )
+
+    @pl.when(m_i == 0)
+    def _():
+        dd1_ref[0] = jnp.zeros_like(dd1_ref[0])
+
+    dd1_ref[0] += (
+        jax.lax.dot_general(dS, d0, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        * inv_temp
+    )
+
+
+def _make_topk_train(prefilter, temperature, use_dustbin, row_topl, block_m, interpret):
+    inv_temp = float(1.0 / temperature)
+
+    def fwd(dsc0, dsc1, scr0, scr1, dustbin):
+        M, N = dsc0.shape[1], dsc1.shape[1]
+        # the table INCLUDES the detection-score outer product (the sampling
+        # distribution is over final scores — reference loss_class.py:136);
+        # scr enter detached — their gradient flows through the loss's
+        # explicit log scr terms, not the kernel
+        cand_v, cand_i, row_ok, lse_row, lse_col = _topk_candidates(
+            dsc0, dsc1,
+            jax.lax.stop_gradient(scr0), jax.lax.stop_gradient(scr1), dustbin,
+            temperature, use_dustbin, row_topl, block_m, interpret,
+        )
+        top_scores, pos = _exact_topk_desc(cand_v, prefilter)
+        top_idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+        out = (
+            top_scores,
+            top_idx,
+            row_ok,
+            lse_row[:, 0, :M],
+            lse_col[:, 0, :N],
+        )
+        return out, (dsc0, dsc1, jnp.asarray(dustbin, jnp.float32), lse_row, lse_col)
+
+    @jax.custom_vjp
+    def f(dsc0, dsc1, scr0, scr1, dustbin):
+        return fwd(dsc0, dsc1, scr0, scr1, dustbin)[0]
+
+    def bwd(res, cts):
+        dsc0, dsc1, dustbin, lse_row_pad, lse_col_pad = res
+        _, _, _, gr, gc = cts  # cotangents only flow into the logsumexps
+        B, M, C = dsc0.shape
+        N = dsc1.shape[1]
+        d0, d1, alpha = _pad_inputs(dsc0, dsc1, dustbin, use_dustbin, block_m)
+        M_pad, N_pad, C_pad = d0.shape[1], d1.shape[1], d0.shape[2]
+        m_tiles = M_pad // block_m
+        grp = jnp.zeros((B, 1, M_pad), jnp.float32).at[:, 0, :M].set(gr)
+        gcp = jnp.zeros((B, 1, N_pad), jnp.float32).at[:, 0, :N].set(gc)
+
+        d0_spec, d1_spec = _specs(block_m, N_pad, C_pad)
+        row_vec = pl.BlockSpec((1, 1, M_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+        col_vec = pl.BlockSpec((1, 1, N_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM)
+
+        dd0, dd1 = pl.pallas_call(
+            functools.partial(_lse_bwd_kernel, inv_temp=inv_temp, n_valid=N),
+            grid=(B, m_tiles),
+            in_specs=[d0_spec, d1_spec, row_vec, col_vec, row_vec, col_vec],
+            out_specs=[
+                d0_spec,
+                pl.BlockSpec((1, N_pad, C_pad), lambda b, m: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, M_pad, C_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, N_pad, C_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(d0, d1, grp, gcp, lse_row_pad, lse_col_pad)
+
+        if use_dustbin:
+            a = alpha[0, 0]
+            dalpha = (
+                jnp.sum(gr * jnp.exp(a - lse_row_pad[:, 0, :M]))
+                + jnp.sum(gc * jnp.exp(a - lse_col_pad[:, 0, :N]))
+            ).astype(jnp.float32)
+        else:
+            dalpha = jnp.zeros((), jnp.float32)
+        return (
+            dd0[:, :M, :C].astype(dsc0.dtype),
+            dd1[:, :N, :C].astype(dsc1.dtype),
+            jnp.zeros((dsc0.shape[0], M), jnp.float32),  # scr0: detached here
+            jnp.zeros((dsc1.shape[0], N), jnp.float32),  # scr1: detached here
+            dalpha,
+        )
+
+    def fwd_rule(dsc0, dsc1, scr0, scr1, dustbin):
+        return fwd(dsc0, dsc1, scr0, scr1, dustbin)
+
+    f.defvjp(fwd_rule, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=16)
+def _topk_train_cache(prefilter, temperature, use_dustbin, row_topl, block_m, interpret):
+    return _make_topk_train(prefilter, temperature, use_dustbin, row_topl, block_m, interpret)
+
+
+def fused_topk_scores_train(
+    dsc0: jnp.ndarray,  # (B, M, C) L2-normalized descriptors
+    dsc1: jnp.ndarray,  # (B, N, C)
+    scr0: jnp.ndarray,  # (B, M) detection scores
+    scr1: jnp.ndarray,  # (B, N)
+    dustbin: jnp.ndarray,
+    prefilter: int,
+    temperature: float = 0.1,
+    use_dustbin: bool = True,
+    row_topl: int = 8,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Training route of the fused matcher->top-K (block comment above).
+
+    Returns (top_scores (B, P) DETACHED final scores descending — the same
+    sampling table as ``fused_topk_scores`` —, top_idx (B, P) int32 flat
+    indices, row_ok (B,) validity, lse_row (B, M) grad-carrying, lse_col
+    (B, N) grad-carrying). scr0/scr1 enter the table detached; their
+    gradients flow through the loss's explicit log terms
+    (training/loss.py::metric_pose_loss_topk)."""
+    f = _topk_train_cache(
+        int(prefilter), float(temperature), bool(use_dustbin), int(row_topl),
+        int(block_m), bool(interpret),
+    )
+    return f(dsc0, dsc1, scr0, scr1, jnp.asarray(dustbin, jnp.float32))
+
+
+def dense_lse(dsc0, dsc1, dustbin, temperature: float, use_dustbin: bool):
+    """XLA reference of the grad-carrying logsumexps (CPU fallback + test
+    oracle for ``fused_topk_scores_train``): lse over the dustbin-augmented
+    correlation rows/columns. Differentiable by ordinary autodiff."""
+    s = (
+        jnp.einsum(
+            "bmc,bnc->bmn", dsc0.astype(jnp.float32), dsc1.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / temperature
+    )
+    lse_row = jax.nn.logsumexp(s, axis=2)  # (B, M)
+    lse_col = jax.nn.logsumexp(s, axis=1)  # (B, N)
+    if use_dustbin:
+        a = jnp.asarray(dustbin, jnp.float32)
+        lse_row = jnp.logaddexp(lse_row, a)
+        lse_col = jnp.logaddexp(lse_col, a)
+    return lse_row, lse_col
+
+
+def dense_topk_scores_train(
+    dsc0, dsc1, scr0, scr1, dustbin, prefilter: int,
+    temperature: float = 0.1, use_dustbin: bool = True, row_topl: int = 8,
+):
+    """CPU fallback of ``fused_topk_scores_train``: same five outputs from
+    the dense dual-softmax product (table detached, logsumexps autodiff)."""
+    lse_row, lse_col = dense_lse(dsc0, dsc1, dustbin, temperature, use_dustbin)
+    s = (
+        jnp.einsum(
+            "bmc,bnc->bmn", dsc0.astype(jnp.float32), dsc1.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / temperature
+    )
+    p = jnp.exp(2.0 * s - lse_row[:, :, None] - lse_col[:, None, :])
+    final = p * scr0[:, :, None] * scr1[:, None, :]
+    top_scores, top_idx, row_ok = dense_topk_scores(
+        jax.lax.stop_gradient(final), prefilter, row_topl=row_topl
+    )
+    return top_scores, top_idx, row_ok, lse_row, lse_col
 
 
 def dense_topk_scores(

@@ -171,23 +171,64 @@ def metric_pose_loss(
     # Same restructure as the inference solver (procrustes_ransac.py); the
     # gather stage was the solver's largest compute block
     # (tools/bench_solver_micro.py).
-    # Head outputs are sanitized to finite values first: the tables now touch
-    # ALL N rows, so a non-finite depth/kps at a never-sampled row would leak
-    # NaN into the gather VJP (0 cotangent x inf = NaN) where the old
-    # gather-then-backproject path never evaluated that row. For finite
-    # outputs (the invariant row_ok + apply_if_finite enforce elsewhere)
-    # nan_to_num is the identity with identity gradient.
+    X_all, Y_all = _point_tables(kps0, depth0, K0, kps1, depth1, K1)
+    X = _take(idx0, X_all)  # (B, it, S, 3)
+    Y = _take(idx1, Y_all)
+    weights = _take(idx, matches[..., None])[..., 0]  # (B, it, S), detached
+    if _profile_stage == "sample":
+        return jnp.sum(X) + jnp.sum(Y) + jnp.sum(weights), {}
+
+    # grad-carrying log of the sampled final scores (REINFORCE surrogate
+    # term; the fused-topk route computes the same quantity without the
+    # dense matrix — see metric_pose_loss_topk)
+    log_fs = jnp.log(fs_flat + 1e-16)
+    log_sampled = jnp.take_along_axis(log_fs, idx.reshape(B, it * S), axis=1).reshape(B, it, S)
+
+    total, aux = _hypotheses_loss_core(
+        X, Y, weights, log_sampled, ridx, row_ok,
+        Rgt, tgt, K0ori, K1ori, key_inner, lc, topk_pct, _profile_stage,
+    )
+    if aux:
+        aux["sampled_idx"] = idx
+    return total, aux
+
+
+def _point_tables(kps0, depth0, K0, kps1, depth1, K1):
+    """Finite-sanitized backprojected 3D point tables (see call-site note).
+
+    Head outputs are sanitized to finite values first: the tables touch ALL
+    N rows, so a non-finite depth/kps at a never-sampled row would leak NaN
+    into the gather VJP (0 cotangent x inf = NaN) where a
+    gather-then-backproject path never evaluated that row. For finite
+    outputs (the invariant row_ok + apply_if_finite enforce elsewhere)
+    nan_to_num is the identity with identity gradient."""
     kps0 = jnp.nan_to_num(kps0)
     kps1 = jnp.nan_to_num(kps1)
     depth0 = jnp.nan_to_num(depth0)
     depth1 = jnp.nan_to_num(depth1)
     X_all = backproject_3d(kps0, depth0, K0)  # (B, N0, 3)
     Y_all = backproject_3d(kps1, depth1, K1)  # (B, N1, 3)
-    X = _take(idx0, X_all)  # (B, it, S, 3)
-    Y = _take(idx1, Y_all)
-    weights = _take(idx, matches[..., None])[..., 0]  # (B, it, S), detached
-    if _profile_stage == "sample":
-        return jnp.sum(X) + jnp.sum(Y) + jnp.sum(weights), {}
+    return X_all, Y_all
+
+
+def _hypotheses_loss_core(
+    X: jnp.ndarray,  # (B, it, S, 3) sampled 3D points, grad-carrying
+    Y: jnp.ndarray,
+    weights: jnp.ndarray,  # (B, it, S) detached sampling weights
+    log_sampled: jnp.ndarray,  # (B, it, S) grad-carrying log final scores
+    ridx,  # (B, it, R_it, C) inner minimal-set indices or None
+    row_ok: jnp.ndarray,  # (B,) sampling-distribution validity
+    Rgt, tgt, K0ori, K1ori,
+    key_inner: jax.Array,
+    lc: LossConfig,
+    topk_pct: jnp.ndarray,
+    _profile_stage: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Hypothesis generation -> REINFORCE total, shared by the dense and the
+    fused-topk loss entries (everything downstream of sampling is identical
+    between them; reference loss_class.py:163-319)."""
+    B, it, S = weights.shape
+    R_it, C = lc.it_ransac, lc.num_corr
 
     # -- inner sampling: (B, it, R_it, C) minimal sets ∝ weights
     if ridx is None:
@@ -287,8 +328,6 @@ def metric_pose_loss(
     avg_loss = jnp.sum(mask_topk * baseline) / denom
 
     # -- REINFORCE surrogate (replaces loss_class.py:251-261 + model.py:124-134)
-    log_fs = jnp.log(fs_flat + 1e-16)
-    log_sampled = jnp.take_along_axis(log_fs, idx.reshape(B, it * S), axis=1).reshape(B, it, S)
     coeff = jax.lax.stop_gradient(
         mask_topk[:, None] * (loss_value - baseline[:, None]) / it
     )
@@ -306,6 +345,99 @@ def metric_pose_loss(
         "num_valid": jnp.sum(row_ok.astype(jnp.int32)),
         "hyp_finite": hyp_finite,
         "loss_value": jax.lax.stop_gradient(loss_value),
-        "sampled_idx": idx,
     }
+    return total, aux
+
+
+def metric_pose_loss_topk(
+    topk: Tuple[jnp.ndarray, ...],  # (top_scores, top_idx, row_ok, lse_row, lse_col)
+    dsc0: jnp.ndarray,  # (B, N0, C) grad-carrying L2-normalized descriptors
+    dsc1: jnp.ndarray,
+    scr0: jnp.ndarray,  # (B, N0, 1) grad-carrying detection scores
+    scr1: jnp.ndarray,
+    kps0: jnp.ndarray,  # (B, N0, 2) grad-carrying
+    depth0: jnp.ndarray,  # (B, N0, 1)
+    kps1: jnp.ndarray,
+    depth1: jnp.ndarray,
+    K0: jnp.ndarray,
+    K1: jnp.ndarray,
+    K0ori: jnp.ndarray,
+    K1ori: jnp.ndarray,
+    Rgt: jnp.ndarray,
+    tgt: jnp.ndarray,
+    key: jax.Array,
+    lc: LossConfig,
+    topk_pct: jnp.ndarray,
+    temperature: float = 0.1,
+    sample_override: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Fused matcher->top-K training loss: ``metric_pose_loss`` without the
+    dense (B, N0, N1) final-score matrix, in forward OR backward.
+
+    ``topk`` is the five-tuple from ops/fused_matcher.fused_topk_scores_train
+    (or its dense CPU fallback): the detached top-P sampling table plus
+    grad-carrying row/column logsumexps. Sampling draws from the table (the
+    two-stage top-P sampling the dense route uses at
+    TPU.SAMPLING_PREFILTER=P, with the kernel's exact per-row-top-L
+    selection instead of approx_max_k), and the REINFORCE surrogate is
+    computed in closed form:
+
+        log final_ij = 2 s_ij - lse_row_i - lse_col_j + log scr0_i + log scr1_j
+
+    with s recomputed only at the <= P sampled candidates (a (P, C) gather +
+    rowwise dot — microscopic next to the dense matrix). Gradient
+    consistency with the dense entry is locked by
+    tests/test_fused_matcher.py::test_loss_topk_grad_matches_dense.
+
+    ``sample_override`` must provide BOTH (idx, ridx) here (flat idx; the
+    dense entry can derive weights for inner sampling from the matrix, this
+    route cannot for indices outside its table)."""
+    top_scores, top_idx, row_ok, lse_row, lse_col = topk
+    B, N0, _ = dsc0.shape
+    N1 = dsc1.shape[1]
+    it, S = lc.it_matches, lc.num_samples_matches
+    inv_temp = 1.0 / float(temperature)
+
+    key_outer, key_inner = jax.random.split(key)
+    tab = jax.lax.stop_gradient(top_scores)  # (B, P)
+    if sample_override is not None:
+        idx, ridx = sample_override
+        if ridx is None:
+            raise ValueError("metric_pose_loss_topk needs a full (idx, ridx) override")
+        weights = jnp.zeros((B, it, S), jnp.float32)  # unused with ridx given
+    else:
+        logw = jnp.where(tab > 0, jnp.log(jnp.maximum(tab, 1e-30)), _NEG_INF)
+        pos_scan = gumbel_topk_sample_draws(key_outer, logw, S, it)  # (it, B, S)
+        pos = jnp.moveaxis(pos_scan, 0, 1).reshape(B, it * S)  # table positions
+        idx = jnp.take_along_axis(top_idx, pos, axis=1).reshape(B, it, S)
+        weights = jnp.take_along_axis(tab, pos, axis=1).reshape(B, it, S)
+        ridx = None
+
+    idx0 = idx // N1
+    idx1 = idx % N1
+
+    X_all, Y_all = _point_tables(kps0, depth0, K0, kps1, depth1, K1)
+    X = _take(idx0, X_all)
+    Y = _take(idx1, Y_all)
+
+    # closed-form log final score at the sampled entries (docstring): one
+    # (B, it*S, C) descriptor gather per side + a rowwise dot. HIGHEST
+    # matches the kernel/dense correlation precision.
+    d0g = _take(idx0, dsc0)  # (B, it, S, C)
+    d1g = _take(idx1, dsc1)
+    s_samp = (
+        jnp.sum(d0g.astype(jnp.float32) * d1g.astype(jnp.float32), axis=-1) * inv_temp
+    )
+    lr = _take(idx0, lse_row[..., None])[..., 0]
+    lcol = _take(idx1, lse_col[..., None])[..., 0]
+    ls0 = jnp.log(jnp.maximum(_take(idx0, scr0)[..., 0], 1e-30))
+    ls1 = jnp.log(jnp.maximum(_take(idx1, scr1)[..., 0], 1e-30))
+    log_sampled = 2.0 * s_samp - lr - lcol + ls0 + ls1
+
+    total, aux = _hypotheses_loss_core(
+        X, Y, weights, log_sampled, ridx, row_ok,
+        Rgt, tgt, K0ori, K1ori, key_inner, lc, topk_pct, None,
+    )
+    if aux:
+        aux["sampled_idx"] = idx
     return total, aux

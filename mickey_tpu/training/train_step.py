@@ -24,11 +24,40 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..nn.extractor import compute_correspondences
+from ..nn.extractor import compute_correspondences, compute_correspondences_topk_train
 from ..solver.procrustes_ransac import estimate_pose
-from .loss import LossConfig, metric_pose_loss
+from .loss import LossConfig, metric_pose_loss, metric_pose_loss_topk
 
 Params = Dict[str, Any]
+
+
+def _use_train_fused_topk(cfg, lc: LossConfig) -> bool:
+    """Fused matcher->top-K training route gate (cfg.TPU.TRAIN_FUSED_TOPK):
+    needs the two-stage sampling prefilter (the table size) and the
+    DualSoftmax matcher. Off by default — the dense route is the
+    gradient-parity reference (tests/test_parity_loss.py); the fused route
+    is gradient-consistent with it (tests/test_fused_matcher.py) and skips
+    materializing the dense match matrix in either direction."""
+    return (
+        bool(cfg.TPU.get("TRAIN_FUSED_TOPK", False))
+        and lc.prefilter > 0
+        and cfg.FEATURE_MATCHER.TYPE == "DualSoftmax"
+    )
+
+
+def _topk_loss_from_corr(corr, batch, key, lc, cfg, topk_pct):
+    """metric_pose_loss_topk on a TrainTopKCorrespondences."""
+    Rgt = batch["T_0to1"][:, :3, :3]
+    tgt = batch["T_0to1"][:, :3, 3][:, None, :]
+    return metric_pose_loss_topk(
+        (corr.top_scores, corr.top_idx, corr.row_ok, corr.lse_row, corr.lse_col),
+        corr.dsc0, corr.dsc1, corr.scr0, corr.scr1,
+        corr.kps0, corr.depth0, corr.kps1, corr.depth1,
+        batch["K_color0"], batch["K_color1"],
+        batch["Kori_color0"], batch["Kori_color1"],
+        Rgt, tgt, key, lc, topk_pct,
+        temperature=float(cfg.FEATURE_MATCHER.DUAL_SOFTMAX.TEMPERATURE),
+    )
 
 
 class TrainState(NamedTuple):
@@ -96,9 +125,16 @@ def make_train_step(cfg, mesh=None):
     parallel.vit_tp_shardings)."""
     lc = LossConfig.from_cfg(cfg)
     optimizer = make_optimizer(cfg)
+    fused_topk = _use_train_fused_topk(cfg, lc)
 
     def loss_fn(trainable, backbone, batch, key, topk_pct):
         params = dict(trainable, dinov2=backbone)
+        if fused_topk:
+            corr, new_params = compute_correspondences_topk_train(
+                params, batch["image0"], batch["image1"], cfg, mesh=mesh
+            )
+            total, aux = _topk_loss_from_corr(corr, batch, key, lc, cfg, topk_pct)
+            return total, (aux, {k: v for k, v in new_params.items() if k != "dinov2"})
         corr, new_params = compute_correspondences(
             params, batch["image0"], batch["image1"], cfg, train=True, mesh=mesh
         )
@@ -170,10 +206,18 @@ def make_staged_train_step(cfg, mesh=None):
         stacked = jnp.concatenate([image0, image1], axis=0)
         return backbone_features({"dinov2": backbone}, stacked, cfg, mesh=mesh)
 
+    fused_topk = _use_train_fused_topk(cfg, lc)
+
     def loss_fn(trainable, fmap, batch, key, topk_pct):
         # images are not used when fmap is given — so the same grad program
         # serves both the staged step (batch still carries images; XLA drops
         # the dead inputs) and the feature-cache step (batch has no images)
+        if fused_topk:
+            corr, new_trainable = compute_correspondences_topk_train(
+                trainable, None, None, cfg, mesh=mesh, fmap=fmap
+            )
+            total, aux = _topk_loss_from_corr(corr, batch, key, lc, cfg, topk_pct)
+            return total, (aux, new_trainable)
         corr, new_trainable = compute_correspondences(
             trainable, None, None, cfg, train=True, mesh=mesh, fmap=fmap
         )

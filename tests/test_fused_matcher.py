@@ -253,3 +253,166 @@ class TestFusedTopK:
             temperature=0.1, use_dustbin=True, row_topl=4, block_m=128, interpret=True,
         )
         assert not np.asarray(ok)[0]
+
+
+class TestFusedTopKTrain:
+    """fused_topk_scores_train: the matcher->top-K TRAINING route. The dense
+    match matrix is needed in neither direction because log(final score) is
+    linear in the correlation logit and the two logsumexps (block comment in
+    ops/fused_matcher.py). Gates: forward table/lse parity vs the dense
+    fallback, analytic lse VJP vs autodiff of the dense logsumexps, and
+    end-to-end gradient consistency of metric_pose_loss_topk vs the dense
+    metric_pose_loss with injected identical samples."""
+
+    def _inputs(self, rng, b, m, n, c):
+        d0 = _descs(rng, b, m, c)
+        d1 = _descs(rng, b, n, c)
+        s0 = jnp.asarray(rng.uniform(0.1, 1, (b, m)).astype(np.float32))
+        s1 = jnp.asarray(rng.uniform(0.1, 1, (b, n)).astype(np.float32))
+        return d0, d1, s0, s1, jnp.float32(0.7)
+
+    @pytest.mark.parametrize("use_dustbin", [True, False])
+    @pytest.mark.parametrize("shape", [(2, 20, 24, 16), (1, 300, 260, 64)])
+    def test_forward_matches_dense(self, rng, use_dustbin, shape):
+        from mickey_tpu.ops.fused_matcher import (
+            dense_topk_scores_train,
+            fused_topk_scores_train,
+        )
+
+        b, m, n, c = shape
+        d0, d1, s0, s1, dustbin = self._inputs(rng, b, m, n, c)
+        P, L = 48, 8
+        kw = dict(temperature=0.1, use_dustbin=use_dustbin, row_topl=L)
+        ov, oi, ook, olr, olc = dense_topk_scores_train(d0, d1, s0, s1, dustbin, P, **kw)
+        fv, fi, fok, flr, flc = fused_topk_scores_train(
+            d0, d1, s0, s1, dustbin, P, block_m=128, interpret=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ook), np.asarray(fok))
+        np.testing.assert_allclose(np.asarray(fv), np.asarray(ov), atol=1e-6, rtol=1e-5)
+        for bb in range(b):
+            assert set(np.asarray(fi)[bb].tolist()) == set(np.asarray(oi)[bb].tolist())
+        np.testing.assert_allclose(np.asarray(flr), np.asarray(olr), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(flc), np.asarray(olc), atol=1e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize("use_dustbin", [True, False])
+    @pytest.mark.parametrize("shape", [(2, 20, 24, 16), (1, 300, 260, 64)])
+    def test_lse_vjp_matches_dense_grads(self, rng, use_dustbin, shape):
+        """Analytic streaming lse backward == jax.grad of the dense
+        logsumexps, for dsc0, dsc1 AND the dustbin logit."""
+        from mickey_tpu.ops.fused_matcher import dense_lse, fused_topk_scores_train
+
+        b, m, n, c = shape
+        d0, d1, s0, s1, dustbin = self._inputs(rng, b, m, n, c)
+        wr = jnp.asarray(rng.normal(size=(b, m)).astype(np.float32))
+        wc = jnp.asarray(rng.normal(size=(b, n)).astype(np.float32))
+
+        def loss_dense(d0, d1, a):
+            lr, lc = dense_lse(d0, d1, a, 0.1, use_dustbin)
+            return jnp.sum(wr * lr) + jnp.sum(wc * lc)
+
+        def loss_fused(d0, d1, a):
+            _, _, _, lr, lc = fused_topk_scores_train(
+                d0, d1, s0, s1, a, 16,
+                temperature=0.1, use_dustbin=use_dustbin, row_topl=4,
+                block_m=128, interpret=True,
+            )
+            return jnp.sum(wr * lr) + jnp.sum(wc * lc)
+
+        ref = jax.grad(loss_dense, argnums=(0, 1, 2))(d0, d1, dustbin)
+        got = jax.grad(loss_fused, argnums=(0, 1, 2))(d0, d1, dustbin)
+        for r, g, name in zip(ref, got, ("dsc0", "dsc1", "dustbin")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=2e-5, rtol=1e-4, err_msg=name
+            )
+
+    def test_loss_topk_grad_matches_dense(self, rng):
+        """metric_pose_loss_topk == metric_pose_loss gradients with injected
+        identical samples, w.r.t. every trainable input (descriptors,
+        detection scores, dustbin, keypoints, depths)."""
+        from mickey_tpu.nn.matcher import dual_softmax
+        from mickey_tpu.config import default_config
+        from mickey_tpu.ops.fused_matcher import dense_topk_scores_train
+        from mickey_tpu.training.loss import (
+            LossConfig,
+            metric_pose_loss,
+            metric_pose_loss_topk,
+        )
+
+        b, m, n, c = 2, 30, 28, 16
+        it, r_it, s_n, corr_n = 3, 2, 10, 4
+        temp = 0.1
+        d0, d1, s0v, s1v, dustbin = self._inputs(rng, b, m, n, c)
+        s0 = s0v[..., None]
+        s1 = s1v[..., None]
+        kps0 = jnp.asarray(rng.uniform(0, 100, (b, m, 2)).astype(np.float32))
+        kps1 = jnp.asarray(rng.uniform(0, 100, (b, n, 2)).astype(np.float32))
+        dep0 = jnp.asarray(rng.uniform(1, 5, (b, m, 1)).astype(np.float32))
+        dep1 = jnp.asarray(rng.uniform(1, 5, (b, n, 1)).astype(np.float32))
+        K = np.zeros((b, 3, 3), np.float32)
+        K[:, 0, 0] = K[:, 1, 1] = 120.0
+        K[:, 0, 2] = K[:, 1, 2] = 50.0
+        K[:, 2, 2] = 1.0
+        K = jnp.asarray(K)
+        ang = 0.2
+        Rgt = jnp.asarray(
+            np.stack(
+                [
+                    np.array(
+                        [
+                            [np.cos(ang), -np.sin(ang), 0],
+                            [np.sin(ang), np.cos(ang), 0],
+                            [0, 0, 1],
+                        ],
+                        np.float32,
+                    )
+                ]
+                * b
+            )
+        )
+        tgt = jnp.asarray(rng.normal(size=(b, 1, 3)).astype(np.float32))
+
+        lc = LossConfig(
+            it_matches=it, it_ransac=r_it, num_ref_steps=2, num_corr=corr_n,
+            num_samples_matches=s_n, train_with_topk=True,
+        )
+        idx = jnp.asarray(
+            rng.integers(0, m * n, size=(b, it, s_n)).astype(np.int32)
+        )
+        ridx = jnp.asarray(
+            rng.integers(0, s_n, size=(b, it, r_it, corr_n)).astype(np.int32)
+        )
+        key = jax.random.PRNGKey(0)
+        topk_pct = jnp.float32(60.0)
+        cfg = default_config()
+        cfg.FEATURE_MATCHER.DUAL_SOFTMAX.TEMPERATURE = temp
+
+        def loss_dense(d0, d1, a, s0, s1, kps0, dep0, kps1, dep1):
+            fs = dual_softmax({"dustbin_score": a}, d0, d1, cfg)
+            fs = fs * s0 * jnp.swapaxes(s1, 1, 2)
+            total, _ = metric_pose_loss(
+                fs, kps0, dep0, kps1, dep1, K, K, K, K, Rgt, tgt,
+                key, lc, topk_pct, sample_override=(idx, ridx),
+            )
+            return total
+
+        def loss_topk(d0, d1, a, s0, s1, kps0, dep0, kps1, dep1):
+            tk = dense_topk_scores_train(
+                d0, d1, s0[..., 0], s1[..., 0], a, 64,
+                temperature=temp, use_dustbin=True, row_topl=8,
+            )
+            total, _ = metric_pose_loss_topk(
+                tk, d0, d1, s0, s1, kps0, dep0, kps1, dep1, K, K, K, K,
+                Rgt, tgt, key, lc, topk_pct, temperature=temp,
+                sample_override=(idx, ridx),
+            )
+            return total
+
+        args = (d0, d1, dustbin, s0, s1, kps0, dep0, kps1, dep1)
+        v_ref, g_ref = jax.value_and_grad(loss_dense, argnums=tuple(range(9)))(*args)
+        v_got, g_got = jax.value_and_grad(loss_topk, argnums=tuple(range(9)))(*args)
+        np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+        names = ("dsc0", "dsc1", "dustbin", "scr0", "scr1", "kps0", "dep0", "kps1", "dep1")
+        for r, g, name in zip(g_ref, g_got, names):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=3e-5, rtol=2e-4, err_msg=name
+            )

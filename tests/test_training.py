@@ -354,3 +354,57 @@ class TestStagedTrainStep:
         assert len(flat_s) == len(flat_m)
         for a, b in zip(flat_s, flat_m):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+    def test_fused_topk_route_matches_monolith(self):
+        """TPU.TRAIN_FUSED_TOPK: the fused matcher->top-K training route
+        (loss samples from the top-P table, log final scores reconstructed
+        from grad-carrying logsumexps — no dense match matrix) must run
+        finite on the CPU fallback, update params, and agree between the
+        staged and monolithic step builders exactly like the dense route.
+        Gradient equivalence with the dense route itself is locked at the
+        loss level (test_fused_matcher.py::test_loss_topk_grad_matches_dense;
+        the routes sample from different-but-matching distributions, so
+        whole-step equality only holds with injected samples)."""
+        import jax.numpy as jnp
+
+        from mickey_tpu.nn.extractor import model_init
+        from mickey_tpu.training.train_step import (
+            init_train_state,
+            make_staged_train_step,
+            make_train_step,
+        )
+
+        cfg = train_cfg()
+        cfg.TPU.TRAIN_FUSED_TOPK = True
+        cfg.TPU.SAMPLING_PREFILTER = 64
+        rng = np.random.default_rng(0)
+        batch = {k: jnp.asarray(v) for k, v in synthetic_batch(rng, B=2).items()}
+        params = model_init(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(7)
+        topk = jnp.float32(80.0)
+
+        outs = {}
+        for name, make in (("mono", make_train_step), ("staged", make_staged_train_step)):
+            fresh = jax.tree_util.tree_map(jnp.array, params)
+            state, backbone = init_train_state(cfg, fresh)
+            step = make(cfg)
+            state, metrics = step(state, backbone, batch, key, topk)
+            state, metrics = step(state, backbone, batch, key, topk)
+            outs[name] = (state, metrics)
+
+        sm, mm = outs["staged"][1], outs["mono"][1]
+        assert float(mm["grads_finite"]) == 1.0
+        assert np.isfinite(float(mm["loss"]))
+        np.testing.assert_allclose(float(sm["loss"]), float(mm["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(sm["grad_norm"]), float(mm["grad_norm"]), rtol=1e-4
+        )
+        # params actually moved (the optimizer applied a finite update)
+        before = np.asarray(params["matcher"]["dustbin_score"])
+        after = np.asarray(outs["staged"][0].params["matcher"]["dustbin_score"])
+        assert not np.allclose(before, after)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs["staged"][0].params),
+            jax.tree_util.tree_leaves(outs["mono"][0].params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)

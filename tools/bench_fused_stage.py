@@ -91,7 +91,7 @@ def main():
 
     def body_cand(topl):
         def body(eps):
-            cv, ci, ok = _topk_candidates(
+            cv, ci, ok, _, _ = _topk_candidates(
                 d0j + eps, d1j, s0j, s1j, dustbin, T, True, topl, 256, False
             )
             return jnp.sum(cv) + jnp.sum(ci % 7).astype(jnp.float32) + jnp.sum(ok)

@@ -43,7 +43,18 @@ def main():
         help="also write one machine-readable JSON line to this path "
         "(per-round artifact, e.g. TRAIN_r03.json)",
     )
+    parser.add_argument(
+        "--fused-topk",
+        action="store_true",
+        help="TPU.TRAIN_FUSED_TOPK route: loss samples from the fused "
+        "kernel's top-P table; the dense match matrix never materializes "
+        "(A/B vs the default dense route, BENCHLOG round 5)",
+    )
     args = parser.parse_args()
+
+    from mickey_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # MICKEY_PLATFORM=cpu for smoke runs
 
     import jax
     import jax.numpy as jnp
@@ -65,6 +76,8 @@ def main():
     cfg.MICKEY.DINOV2.VARIANT = args.variant
     if args.variant == "vit_small":
         cfg.MICKEY.DINOV2.CHANNEL_DIM = 384
+    if args.fused_topk:
+        cfg.TPU.TRAIN_FUSED_TOPK = True
 
     B, H, W = args.batch, args.height, args.width
     gh = cfg.LOSS_CLASS.GENERATE_HYPOTHESES
@@ -229,6 +242,7 @@ def main():
             "value": round(B / dt, 3),
             "unit": "pairs/s",
             "batch": B,
+            "fused_topk": bool(args.fused_topk),
             "step_ms": round(med, 2),
             "step_ms_mean": round(float(np.mean(iter_ms)), 2),
             "iter_ms": [round(t, 1) for t in iter_ms],
