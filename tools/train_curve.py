@@ -414,6 +414,7 @@ def run_curve(
         final_eval_loss=eval_tail,
         eval_loss_ratio=eval_tail / eval_head if eval_head else float("nan"),
         initial_train_loss_window=float(np.mean(curve["loss"][:w])),
+        train_fused_topk=bool(cfg.TPU.get("TRAIN_FUSED_TOPK", False)),
         initial_R_err=curve["eval"]["R_err_med"][0],
         final_R_err=curve["eval"]["R_err_med"][-1],
         initial_vcre=curve["eval"]["vcre_med"][0],
@@ -439,6 +440,12 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--mode", choices=("fmap", "images"), default="fmap")
     ap.add_argument("--tpu", action="store_true", help="run on the real chip")
+    ap.add_argument(
+        "--fused-topk", action="store_true",
+        help="TPU.TRAIN_FUSED_TOPK route (prefilter 512 at the 72-cell toy "
+        "scale): validates the fused matcher->top-K training route LEARNS, "
+        "not just that its gradients match (BENCHLOG round 5)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -446,9 +453,13 @@ def main():
     if not args.tpu:  # the axon sitecustomize pins 'axon,cpu' (CLAUDE.md)
         jax.config.update("jax_platforms", "cpu")
 
+    cfg_update = None
+    if args.fused_topk:
+        cfg_update = {"TPU.TRAIN_FUSED_TOPK": True, "TPU.SAMPLING_PREFILTER": 512}
+
     curve = run_curve(
         steps=args.steps, eval_every=args.eval_every, seed=args.seed,
-        lr=args.lr, verbose=True, mode=args.mode,
+        lr=args.lr, verbose=True, mode=args.mode, cfg_update=cfg_update,
     )
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
