@@ -304,10 +304,17 @@ def default_config() -> Config:
                 # from grad-carrying row/col logsumexps, so the dense match
                 # matrix (+ its backward cotangent) never exists in training
                 # either (ops/fused_matcher.fused_topk_scores_train,
-                # training/loss.py::metric_pose_loss_topk). Default OFF: the
-                # dense route is the gradient-parity reference; this one is
-                # gradient-consistent with it (tests/test_fused_matcher.py)
-                # and A/B'd on chip in BENCHLOG round 5.
+                # training/loss.py::metric_pose_loss_topk). Default OFF —
+                # this is a FINE-TUNING lever, not a from-scratch recipe:
+                # it is gradient-consistent with the dense route given the
+                # same samples (tests/test_fused_matcher.py) and wins
+                # +22.6 ms/step on chip (BENCHLOG round 5), but its sampling
+                # support is the top-P candidate table, so with UNTRAINED
+                # scores the true matches are almost never candidates and
+                # REINFORCE gets no signal (measured: the 150-step overfit
+                # proxy that converges on the dense route stays at the
+                # zero-pose fallback on this route — BENCHLOG round 5).
+                # Enable once the matcher is warm (resumed/fine-tune runs).
                 "TRAIN_FUSED_TOPK": False,
                 "LOG_IMAGES": False,  # TB image panels each LOG_INTERVAL (slow over remote tunnels)
                 "DONATE_BUFFERS": True,
