@@ -133,6 +133,16 @@ def default_config() -> Config:
                     "DOWN_FACTOR": 14,
                     "CHANNEL_DIM": 1024,
                     "FLOAT16": True,  # TPU build: bfloat16 when True
+                    # TPU build: int8 PTQ of the frozen backbone's block
+                    # linears (nn/quant.py) at inference-model build time.
+                    # Measured +26 ms/batch-16 on the v5e backbone pass
+                    # (1.105x, BENCHLOG round 5; synthetic-weight drift
+                    # fmap cos 0.9995). Default OFF: real-checkpoint quality
+                    # validation is egress-blocked and DINOv2's activation
+                    # outliers are the known int8 risk — flip only behind
+                    # tools/quality_run.py once weights exist. Single-chip
+                    # scope (the TP shardings name the fp32 leaves).
+                    "INT8": False,
                 },
                 "KP_HEADS": {
                     "BLOCKS_DIM": [512, 256, 128, 64],

@@ -49,6 +49,15 @@ class MickeyRelativePose:
     def __init__(self, cfg, params: Optional[Params] = None, seed: int = 0):
         self.cfg = cfg
         self.params = params if params is not None else model_init(jax.random.PRNGKey(seed), cfg)
+        if cfg.MICKEY.DINOV2.get("INT8", False):
+            # opt-in int8 PTQ of the frozen backbone (nn/quant.py; measured
+            # +26 ms/batch-16 on chip, BENCHLOG round 5). Every serving arm
+            # below picks it up automatically: the block body dispatches on
+            # the param tree (nn/quant.maybe_linear). Idempotent on
+            # already-quantized trees.
+            from ..nn.quant import vit_quantize_int8
+
+            self.params = dict(self.params, dinov2=vit_quantize_int8(self.params["dinov2"]))
         self._apply = functools.partial(_forward, cfg=cfg)
 
     def __call__(self, image0, image1, K0, K1, key=None, lite: bool = False):

@@ -36,6 +36,7 @@ from ..ops.flash_attention import (
     packed_kernel_blocks,
 )
 from .common import layernorm, layernorm_init, linear, linear_init, trunc_normal
+from .quant import maybe_linear
 
 Params = Dict[str, Any]
 
@@ -208,7 +209,7 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
         )
 
     h = layernorm(bp["norm1"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
-    qkv = linear(bp["attn"]["qkv"], h)  # (B, S, 3C) — column-parallel
+    qkv = maybe_linear(bp["attn"]["qkv"], h)  # (B, S, 3C) — column-parallel
     # the fused qkv weight stores its 3C output dim HEAD-MAJOR (h, t, d) —
     # see checkpoint._qkv_to_head_major — so (a) the packed kernel can slice
     # heads straight out of the minor dim and (b) contiguous column shards
@@ -253,18 +254,18 @@ def _block_apply(x: jnp.ndarray, bp: Params, seq_len: int, use_pallas: bool, num
             attn = multi_head_attention(q, k, v, seq_len, use_pallas=use_pallas,
                                         blocks=attn_blocks, interpret=interpret)
         attn = jnp.moveaxis(attn, 1, 2).reshape(b, s, c)
-    attn = pin(linear(bp["attn"]["proj"], attn), DATA_AXIS, None, None)  # row-parallel
+    attn = pin(maybe_linear(bp["attn"]["proj"], attn), DATA_AXIS, None, None)  # row-parallel
     x = x + bp["ls1"]["gamma"].astype(x.dtype) * attn
 
     h = layernorm(bp["norm2"], x.astype(jnp.float32), eps=1e-6).astype(x.dtype)
     if "fc1" in bp["mlp"]:
-        h = pin(linear(bp["mlp"]["fc1"], h), DATA_AXIS, None, MODEL_AXIS)
+        h = pin(maybe_linear(bp["mlp"]["fc1"], h), DATA_AXIS, None, MODEL_AXIS)
         h = jax.nn.gelu(h, approximate=False)
-        h = pin(linear(bp["mlp"]["fc2"], h), DATA_AXIS, None, None)
+        h = pin(maybe_linear(bp["mlp"]["fc2"], h), DATA_AXIS, None, None)
     else:  # SwiGLU FFN (swiglu_ffn.py:29-33) — replicated under tp
-        h12 = linear(bp["mlp"]["w12"], h)
+        h12 = maybe_linear(bp["mlp"]["w12"], h)
         h1, h2 = jnp.split(h12, 2, axis=-1)
-        h = linear(bp["mlp"]["w3"], jax.nn.silu(h1) * h2)
+        h = maybe_linear(bp["mlp"]["w3"], jax.nn.silu(h1) * h2)
     x = x + bp["ls2"]["gamma"].astype(x.dtype) * h
     return x
 
