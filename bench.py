@@ -152,6 +152,17 @@ def main():
         cfg.TPU.SAMPLING_PREFILTER = 64
     params = model_init(jax.random.PRNGKey(0), cfg)
 
+    # MICKEY_BENCH_INT8=1: bench the opt-in int8-PTQ backbone end-to-end
+    # (cfg.MICKEY.DINOV2.INT8 serving config; nn/quant.py). The staged
+    # programs dispatch on the param tree (nn/quant.maybe_linear), so
+    # quantizing here measures exactly what a user enabling the flag gets.
+    INT8 = os.environ.get("MICKEY_BENCH_INT8") == "1"
+    if INT8:
+        from mickey_tpu.nn.quant import vit_quantize_int8
+
+        cfg.MICKEY.DINOV2.INT8 = True
+        params = dict(params, dinov2=vit_quantize_int8(params["dinov2"]))
+
     rng = np.random.default_rng(0)
     im0 = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)).astype(np.float32))
     im1 = jnp.asarray(rng.uniform(0, 1, (BATCH, H, W, 3)).astype(np.float32))
@@ -288,6 +299,7 @@ def main():
                 # headline basis + both measured rates (module docstring)
                 "layout": "benchmark_shared_ref" if LAYOUT == "benchmark" else "general",
                 "fused_topk": use_topk,  # round-4 matcher->top-K route (module note)
+                "int8": INT8,  # opt-in int8-PTQ backbone (MICKEY_BENCH_INT8=1)
                 "benchmark_pairs_per_sec": round(rate(iv_shared), 3),
                 "general_pairs_per_sec": round(rate(iv_general), 3),
                 "mean_pairs_per_sec": round(BATCH / float(np.mean(headline_iv)), 3),
